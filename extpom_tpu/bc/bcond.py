@@ -1,0 +1,226 @@
+"""Open lateral boundary conditions (file-driven set).
+
+Mirrors ``bcond(idx)`` (bounds_forcing.f:6-328).  The reference's
+``n_west.eq.-1``-style rank conditionals disappear: on global arrays the
+physical edges are simply the first/last rows and columns, and under SPMD
+sharding XLA routes each edge update to the shard that owns it.
+
+Each function is pure: it takes the fields it modifies plus what it reads,
+and returns the updated fields.  Side order within each function matches the
+reference exactly (corners are decided by whichever side writes last).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.grid import Grid
+from extpom_tpu.core.state import Forcing
+from extpom_tpu.ops.stencil import sfk
+
+
+def bc_el(grid: Grid, cfg: Config, elf: jnp.ndarray,
+          fc: Forcing) -> jnp.ndarray:
+    """idx=1: external elevation, zero-gradient at open edges
+    (bounds_forcing.f:18-41)."""
+    elf = elf.at[0, :].set(elf[1, :])      # west
+    elf = elf.at[-1, :].set(elf[-2, :])    # east
+    elf = elf.at[:, 0].set(elf[:, 1])      # south
+    elf = elf.at[:, -1].set(elf[:, -2])    # north
+    return elf * grid.fsm
+
+
+def bc_vel2d(grid: Grid, cfg: Config,
+             uaf: jnp.ndarray, vaf: jnp.ndarray,
+             el: jnp.ndarray, d: jnp.ndarray,
+             fc: Forcing, ramp) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """idx=2: external velocity, Flather-type radiation
+    (bounds_forcing.f:43-83)."""
+    g = cfg.grav
+    J = slice(1, -1)
+    # west
+    uaf = uaf.at[1, J].set(ramp * (
+        fc.uabw[J] - cfg.rfw * jnp.sqrt(g / d[1, J]) * (el[1, J] - fc.elw[J])))
+    uaf = uaf.at[0, J].set(uaf[1, J])
+    vaf = vaf.at[0, J].set(fc.vabw[J])
+    # east
+    uaf = uaf.at[-1, J].set(ramp * (
+        fc.uabe[J] + cfg.rfe * jnp.sqrt(g / d[-2, J]) * (el[-2, J] - fc.ele[J])))
+    vaf = vaf.at[-1, J].set(fc.vabe[J])
+    # south
+    vaf = vaf.at[J, 1].set(ramp * (
+        fc.vabs[J] - cfg.rfs * jnp.sqrt(g / d[J, 1]) * (el[J, 1] - fc.els[J])))
+    vaf = vaf.at[J, 0].set(vaf[J, 1])
+    uaf = uaf.at[J, 0].set(fc.uabs[J])
+    # north
+    vaf = vaf.at[J, -1].set(ramp * (
+        fc.vabn[J] + cfg.rfn * jnp.sqrt(g / d[J, -2]) * (el[J, -2] - fc.eln[J])))
+    uaf = uaf.at[J, -1].set(fc.uabn[J])
+
+    return uaf * grid.dum, vaf * grid.dvm
+
+
+def bc_vel3d(grid: Grid, cfg: Config,
+             uf: jnp.ndarray, vf: jnp.ndarray,
+             u: jnp.ndarray, v: jnp.ndarray, d: jnp.ndarray,
+             fc: Forcing) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """idx=3: internal velocity — depth-blended partial clamp toward the
+    boundary profile (bounds_forcing.f:85-149)."""
+    kbm1 = cfg.kbm1
+    K = slice(0, kbm1)
+    J = slice(1, -1)
+    hmax = jnp.max(d)
+
+    def smooth(a):  # tangential 1-2-1 average along the side axis
+        return 0.25 * jnp.roll(a, 1, axis=-1) + 0.5 * a \
+            + 0.25 * jnp.roll(a, -1, axis=-1)
+
+    # east (i = im-1)
+    ga = jnp.sqrt(d[-1, :] / hmax)              # (jm,)
+    ui = smooth(u[:, -2, :])                    # (kb, jm) over j
+    ub_ = smooth(fc.ube)
+    uf = uf.at[K, -1, J].set((ga * ui + (1.0 - ga) * ub_)[K, J])
+    vf = vf.at[K, -1, J].set(fc.vbe[K, J])
+    # west (i = 0; u-face at i=1)
+    ga = jnp.sqrt(d[0, :] / hmax)
+    ui = smooth(u[:, 2, :])
+    ub_ = smooth(fc.ubw)
+    uf = uf.at[K, 1, J].set((ga * ui + (1.0 - ga) * ub_)[K, J])
+    uf = uf.at[K, 0, J].set(uf[K, 1, J])
+    vf = vf.at[K, 0, J].set(fc.vbw[K, J])
+    # south (j = 0; v-face at j=1)
+    I = slice(1, -1)
+    ga = jnp.sqrt(d[:, 0] / hmax)
+    vi = smooth(v[:, :, 2])
+    vb_ = smooth(fc.vbs)
+    vf = vf.at[K, I, 1].set((ga * vi + (1.0 - ga) * vb_)[K, I])
+    vf = vf.at[K, I, 0].set(vf[K, I, 1])
+    uf = uf.at[K, I, 0].set(fc.ubs[K, I])
+    # north (j = jm-1)
+    ga = jnp.sqrt(d[:, -1] / hmax)
+    vi = smooth(v[:, :, -2])
+    vb_ = smooth(fc.vbn)
+    vf = vf.at[K, I, -1].set((ga * vi + (1.0 - ga) * vb_)[K, I])
+    uf = uf.at[K, I, -1].set(fc.ubn[K, I])
+
+    return uf * grid.dum, vf * grid.dvm
+
+
+def bc_ts(grid: Grid, cfg: Config,
+          uf: jnp.ndarray, vf: jnp.ndarray,
+          t: jnp.ndarray, s: jnp.ndarray,
+          u: jnp.ndarray, v: jnp.ndarray, w: jnp.ndarray,
+          dt: jnp.ndarray, fc: Forcing) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """idx=4: T/S advective open boundary with vertical-advection correction
+    on outflow (bounds_forcing.f:151-242).  ``uf``/``vf`` hold the new T/S
+    fields."""
+    kbm1 = cfg.kbm1
+    K = slice(0, kbm1)
+    zz = grid.zz  # (kb,)
+    kidx = jnp.arange(cfg.kb)
+    # vertical-advection correction applies for 0 < k < kbm1-1
+    kmask = ((kidx > 0) & (kidx < kbm1 - 1)).astype(t.dtype)[:, None]
+
+    def wm_corr(w_in, dt_in, f_in):
+        # wm = .5 (w_k + w_{k+1}) dti / ((zz_{k-1} - zz_{k+1}) dt)
+        dzz2 = (sfk(zz, -1) - sfk(zz, 1))[:, None]
+        dzz2 = jnp.where(dzz2 == 0, 1.0, dzz2)
+        wm = 0.5 * (w_in + sfk(w_in, 1)) * cfg.dti / (dzz2 * dt_in)
+        return kmask * wm * (sfk(f_in, -1) - sfk(f_in, 1))
+
+    def side(f, fb_ext, f_edge_idx, f_in_idx, u1, w_in, dt_in, out_is_le):
+        f_edge = f[(slice(None),) + f_edge_idx]
+        f_in = f[(slice(None),) + f_in_idx]
+        if out_is_le:   # east/north: inflow when u1 <= 0
+            inflow = u1 <= 0.0
+            f_inf = f_edge - u1 * (fb_ext - f_edge)
+            f_out = f_edge - u1 * (f_edge - f_in) - wm_corr(w_in, dt_in, f_in)
+        else:           # west/south
+            inflow = u1 >= 0.0
+            f_inf = f_edge - u1 * (f_edge - fb_ext)
+            f_out = f_edge - u1 * (f_in - f_edge) - wm_corr(w_in, dt_in, f_in)
+        return jnp.where(inflow, f_inf, f_out)
+
+    # east: full j range (bounds_forcing.f:157-173)
+    u1e = 2.0 * u[:, -1, :] * cfg.dti / (grid.dx[-1, :] + grid.dx[-2, :])
+    tfe = side(t, fc.tbe, (-1,), (-2,), u1e, w[:, -2, :], dt[-2, :], True)
+    sfe = side(s, fc.sbe, (-1,), (-2,), u1e, w[:, -2, :], dt[-2, :], True)
+    uf = uf.at[K, -1, :].set(tfe[K])
+    vf = vf.at[K, -1, :].set(sfe[K])
+    # west (bounds_forcing.f:175-191)
+    u1w = 2.0 * u[:, 1, :] * cfg.dti / (grid.dx[0, :] + grid.dx[1, :])
+    tfw = side(t, fc.tbw, (0,), (1,), u1w, w[:, 1, :], dt[1, :], False)
+    sfw = side(s, fc.sbw, (0,), (1,), u1w, w[:, 1, :], dt[1, :], False)
+    uf = uf.at[K, 0, :].set(tfw[K])
+    vf = vf.at[K, 0, :].set(sfw[K])
+    # south: full i range (bounds_forcing.f:194-211)
+    u1s = 2.0 * v[:, :, 1] * cfg.dti / (grid.dy[:, 0] + grid.dy[:, 1])
+    tfs = side(t.transpose(0, 2, 1), fc.tbs, (0,), (1,), u1s,
+               w[:, :, 1], dt[:, 1], False)
+    sfs = side(s.transpose(0, 2, 1), fc.sbs, (0,), (1,), u1s,
+               w[:, :, 1], dt[:, 1], False)
+    uf = uf.at[K, :, 0].set(tfs[K])
+    vf = vf.at[K, :, 0].set(sfs[K])
+    # north (bounds_forcing.f:213-229)
+    u1n = 2.0 * v[:, :, -1] * cfg.dti / (grid.dy[:, -1] + grid.dy[:, -2])
+    tfn = side(t.transpose(0, 2, 1), fc.tbn, (-1,), (-2,), u1n,
+               w[:, :, -2], dt[:, -2], True)
+    sfn = side(s.transpose(0, 2, 1), fc.sbn, (-1,), (-2,), u1n,
+               w[:, :, -2], dt[:, -2], True)
+    uf = uf.at[K, :, -1].set(tfn[K])
+    vf = vf.at[K, :, -1].set(sfn[K])
+
+    uf = uf.at[K].set((uf * grid.fsm)[K])
+    vf = vf.at[K].set((vf * grid.fsm)[K])
+    return uf, vf
+
+
+def bc_w(grid: Grid, cfg: Config, w: jnp.ndarray) -> jnp.ndarray:
+    """idx=5: vertical velocity mask (bounds_forcing.f:244-255)."""
+    return w.at[:cfg.kbm1].set((w * grid.fsm)[:cfg.kbm1])
+
+
+def bc_turb(grid: Grid, cfg: Config,
+            uf: jnp.ndarray, vf: jnp.ndarray,
+            q2: jnp.ndarray, q2l: jnp.ndarray,
+            u: jnp.ndarray, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """idx=6: q2/q2l upstream open boundary toward ``small``; covers all kb
+    levels (bounds_forcing.f:257-325)."""
+    small = cfg.small
+
+    def side(f, f_edge_idx, f_in_idx, u1, out_is_le):
+        f_edge = f[(slice(None),) + f_edge_idx]
+        f_in = f[(slice(None),) + f_in_idx]
+        if out_is_le:
+            inflow = u1 <= 0.0
+            f_inf = f_edge - u1 * (small - f_edge)
+            f_out = f_edge - u1 * (f_edge - f_in)
+        else:
+            inflow = u1 >= 0.0
+            f_inf = f_edge - u1 * (f_edge - small)
+            f_out = f_edge - u1 * (f_in - f_edge)
+        return jnp.where(inflow, f_inf, f_out)
+
+    # west (bounds_forcing.f:263-273)
+    u1w = 2.0 * u[:, 1, :] * cfg.dti / (grid.dx[0, :] + grid.dx[1, :])
+    uf = uf.at[:, 0, :].set(side(q2, (0,), (1,), u1w, False))
+    vf = vf.at[:, 0, :].set(side(q2l, (0,), (1,), u1w, False))
+    # east
+    u1e = 2.0 * u[:, -1, :] * cfg.dti / (grid.dx[-1, :] + grid.dx[-2, :])
+    uf = uf.at[:, -1, :].set(side(q2, (-1,), (-2,), u1e, True))
+    vf = vf.at[:, -1, :].set(side(q2l, (-1,), (-2,), u1e, True))
+    # south
+    u1s = 2.0 * v[:, :, 1] * cfg.dti / (grid.dy[:, 0] + grid.dy[:, 1])
+    uf = uf.at[:, :, 0].set(side(q2.transpose(0, 2, 1), (0,), (1,), u1s, False))
+    vf = vf.at[:, :, 0].set(side(q2l.transpose(0, 2, 1), (0,), (1,), u1s, False))
+    # north
+    u1n = 2.0 * v[:, :, -1] * cfg.dti / (grid.dy[:, -1] + grid.dy[:, -2])
+    uf = uf.at[:, :, -1].set(side(q2.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
+    vf = vf.at[:, :, -1].set(side(q2l.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
+
+    uf = uf * grid.fsm + 1.0e-10
+    vf = vf * grid.fsm + 1.0e-10
+    return uf, vf

@@ -1,0 +1,421 @@
+"""Mode-split leapfrog time stepping.
+
+One call to :func:`step` advances the model by one internal (3-D) time step
+``dti``, mirroring ``advance`` (advance.f:6-59):
+
+    lateral_viscosity -> mode_interaction -> isplit x mode_external
+    -> mode_internal
+
+The whole thing is a pure function ``(grid, cfg static, state, forcing) ->
+state`` designed to be wrapped in ``jax.jit`` with ``donate_argnums`` for
+the state (so leapfrog level rotation is in-place in HBM).  The external
+substeps run under ``lax.fori_loop``; the iext-dependent tail-averaging of
+``etf`` (advance.f:295-318) is branchless.
+
+Forcing reads stay on the host (see ``extpom_tpu.forcing``); the traced step
+never touches files.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.grid import Grid
+from extpom_tpu.core.state import State, Forcing
+from extpom_tpu.ops.stencil import sft, sfk, put
+from extpom_tpu.ops import advection2d, momentum, tracers, pressure, \
+    vertical, continuity, density
+from extpom_tpu.bc import bcond as bcf
+from extpom_tpu.bc import orlanski as bco
+
+
+# ---------------------------------------------------------------------------
+# pieces
+# ---------------------------------------------------------------------------
+
+def mode_interaction(grid: Grid, cfg: Config, st: State,
+                     aam, advx, advy, drhox, drhoy):
+    """Vertical integrals feeding the external mode (advance.f:144-202).
+
+    Returns (adx2d, ady2d, drx2d, dry2d, aam2d, advua, advva, wubot, wvbot,
+    egf, utf, vtf)."""
+    d = grid.h + st.el
+    dz3 = grid.dz3[:cfg.kbm1]
+
+    if cfg.mode != 2:
+        adx2d = jnp.sum(advx[:cfg.kbm1] * dz3, axis=0)
+        ady2d = jnp.sum(advy[:cfg.kbm1] * dz3, axis=0)
+        drx2d = jnp.sum(drhox[:cfg.kbm1] * dz3, axis=0)
+        dry2d = jnp.sum(drhoy[:cfg.kbm1] * dz3, axis=0)
+        aam2d = jnp.sum(aam[:cfg.kbm1] * dz3, axis=0)
+        advua, advva, wubot, wvbot = advection2d.advave(
+            grid, cfg, d, st.ua, st.va, st.uab, st.vab, aam2d,
+            st.wubot, st.wvbot)
+        adx2d = adx2d - advua
+        ady2d = ady2d - advva
+    else:
+        adx2d, ady2d = st.adx2d, st.ady2d
+        drx2d, dry2d = st.drx2d, st.dry2d
+        aam2d = st.aam2d
+        advua, advva, wubot, wvbot = st.advua, st.advva, st.wubot, st.wvbot
+
+    egf = st.el * cfg.ispi
+    utf = jnp.zeros_like(d).at[1:, :].set(
+        (st.ua * (d + sft(d, -1, 0)) * cfg.isp2i)[1:, :])
+    vtf = jnp.zeros_like(d).at[:, 1:].set(
+        (st.va * (d + sft(d, 0, -1)) * cfg.isp2i)[:, 1:])
+
+    return (adx2d, ady2d, drx2d, dry2d, aam2d, advua, advva, wubot, wvbot,
+            egf, utf, vtf)
+
+
+class ExtCarry(NamedTuple):
+    el: jnp.ndarray
+    elb: jnp.ndarray
+    ua: jnp.ndarray
+    uab: jnp.ndarray
+    va: jnp.ndarray
+    vab: jnp.ndarray
+    etf: jnp.ndarray
+    egf: jnp.ndarray
+    utf: jnp.ndarray
+    vtf: jnp.ndarray
+    advua: jnp.ndarray
+    advva: jnp.ndarray
+    wubot: jnp.ndarray
+    wvbot: jnp.ndarray
+
+
+def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
+                          fc: Forcing, aux) -> ExtCarry:
+    """One external (2-D) leapfrog substep (advance.f:205-353).
+
+    ``iext`` is the 1-based substep counter (traced); ``aux`` holds the
+    step-constant 2-D forcing terms (adx2d, ady2d, drx2d, dry2d, aam2d,
+    wusurf, wvsurf, vfluxf, e_atmos, ramp)."""
+    (adx2d, ady2d, drx2d, dry2d, aam2d) = aux
+    h, dx, dy, art, aru, arv, cor = (grid.h, grid.dx, grid.dy, grid.art,
+                                     grid.aru, grid.arv, grid.cor)
+    d = h + c.el
+    z2 = jnp.zeros_like(d)
+
+    # free surface (advance.f:211-229)
+    fluxua = put(z2, 0.25 * (d + sft(d, -1, 0)) * (dy + sft(dy, -1, 0)) * c.ua,
+                 slice(1, None), slice(1, None))
+    fluxva = put(z2, 0.25 * (d + sft(d, 0, -1)) * (dx + sft(dx, 0, -1)) * c.va,
+                 slice(1, None), slice(1, None))
+    elf = put(z2, c.elb + cfg.dte2 * (
+        -(sft(fluxua, 1, 0) - fluxua + sft(fluxva, 0, 1) - fluxva) / art
+        - fc.vflux),
+        slice(1, -1), slice(1, -1))
+    if cfg.bc_scheme == "orlanski":
+        elf = bco.orl_el(grid, cfg, elf)
+    else:
+        elf = bcf.bc_el(grid, cfg, elf, fc)
+
+    # external advection terms every ispadv substeps (advance.f:235)
+    def do_advave(c):
+        advua, advva, wubot, wvbot = advection2d.advave(
+            grid, cfg, d, c.ua, c.va, c.uab, c.vab, aam2d,
+            c.wubot, c.wvbot)
+        return advua, advva, wubot, wvbot
+
+    if cfg.ispadv == 1:
+        advua, advva, wubot, wvbot = do_advave(c)
+    else:
+        advua, advva, wubot, wvbot = lax.cond(
+            iext % cfg.ispadv == 0,
+            lambda c: do_advave(c),
+            lambda c: (c.advua, c.advva, c.wubot, c.wvbot),
+            c)
+
+    # depth-mean momentum (advance.f:237-288)
+    alpha = cfg.alpha
+    uaf = put(z2,
+              adx2d + advua
+              - aru * 0.25 * (cor * d * (sft(c.va, 0, 1) + c.va)
+                              + sft(cor, -1, 0) * sft(d, -1, 0)
+                              * (sft(c.va, -1, 1) + sft(c.va, -1, 0)))
+              + 0.25 * cfg.grav * (dy + sft(dy, -1, 0)) * (d + sft(d, -1, 0))
+              * ((1.0 - 2.0 * alpha) * (c.el - sft(c.el, -1, 0))
+                 + alpha * (c.elb - sft(c.elb, -1, 0)
+                            + elf - sft(elf, -1, 0))
+                 + fc.e_atmos - sft(fc.e_atmos, -1, 0))
+              + drx2d + aru * (fc.wusurf - wubot),
+              slice(1, None), slice(1, -1))
+    uaf = put(z2,
+              ((h + c.elb + sft(h, -1, 0) + sft(c.elb, -1, 0)) * aru * c.uab
+               - 4.0 * cfg.dte * uaf)
+              / ((h + elf + sft(h, -1, 0) + sft(elf, -1, 0)) * aru),
+              slice(1, None), slice(1, -1))
+
+    vaf = put(z2,
+              ady2d + advva
+              + arv * 0.25 * (cor * d * (sft(c.ua, 1, 0) + c.ua)
+                              + sft(cor, 0, -1) * sft(d, 0, -1)
+                              * (sft(c.ua, 1, -1) + sft(c.ua, 0, -1)))
+              + 0.25 * cfg.grav * (dx + sft(dx, 0, -1)) * (d + sft(d, 0, -1))
+              * ((1.0 - 2.0 * alpha) * (c.el - sft(c.el, 0, -1))
+                 + alpha * (c.elb - sft(c.elb, 0, -1)
+                            + elf - sft(elf, 0, -1))
+                 + fc.e_atmos - sft(fc.e_atmos, 0, -1))
+              + dry2d + arv * (fc.wvsurf - wvbot),
+              slice(1, -1), slice(1, None))
+    vaf = put(z2,
+              ((h + c.elb + sft(h, 0, -1) + sft(c.elb, 0, -1)) * arv * c.vab
+               - 4.0 * cfg.dte * vaf)
+              / ((h + elf + sft(h, 0, -1) + sft(elf, 0, -1)) * arv),
+              slice(1, -1), slice(1, None))
+
+    if cfg.bc_scheme == "orlanski":
+        uaf, vaf = bco.orl_vel2d(grid, cfg, uaf, vaf, c.ua, c.uab,
+                                 c.va, c.vab)
+    else:
+        uaf, vaf = bcf.bc_vel2d(grid, cfg, uaf, vaf, c.el, d, fc, fc.ramp)
+
+    # etf tail averaging over the last three substeps (advance.f:295-318)
+    isplit = cfg.isplit
+    etf = c.etf
+    etf = jnp.where(iext == isplit - 2, 0.25 * cfg.smoth * elf, etf)
+    etf = jnp.where(iext == isplit - 1,
+                    c.etf + 0.5 * (1.0 - 0.5 * cfg.smoth) * elf, etf)
+    etf = jnp.where(iext == isplit,
+                    (c.etf + 0.5 * elf) * grid.fsm, etf)
+
+    # Asselin filter + time level rotation (advance.f:321-330)
+    ua = c.ua + 0.5 * cfg.smoth * (c.uab - 2.0 * c.ua + uaf)
+    va = c.va + 0.5 * cfg.smoth * (c.vab - 2.0 * c.va + vaf)
+    el = c.el + 0.5 * cfg.smoth * (c.elb - 2.0 * c.el + elf)
+    elb = el
+    el = elf
+    d = h + el
+    uab = ua
+    ua = uaf
+    vab = va
+    va = vaf
+
+    # dti-average accumulators, skipped on the final substep
+    # (advance.f:332-350)
+    not_last = (iext != isplit).astype(el.dtype)
+    egf = c.egf + not_last * el * cfg.ispi
+    utf = put(c.utf, c.utf + not_last * ua * (d + sft(d, -1, 0)) * cfg.isp2i,
+              slice(1, None), slice(None))
+    vtf = put(c.vtf, c.vtf + not_last * va * (d + sft(d, 0, -1)) * cfg.isp2i,
+              slice(None), slice(1, None))
+
+    return ExtCarry(el=el, elb=elb, ua=ua, uab=uab, va=va, vab=vab,
+                    etf=etf, egf=egf, utf=utf, vtf=vtf,
+                    advua=advua, advva=advva, wubot=wubot, wvbot=wvbot)
+
+
+def mode_internal(grid: Grid, cfg: Config, st: State, fc: Forcing,
+                  c: ExtCarry, aam, advx, advy, drhox, drhoy,
+                  rmean, tclim, sclim, first: bool) -> State:
+    """Internal (3-D) mode update (advance.f:356-537).
+
+    ``first=True`` reproduces the reference's cold-start behavior where the
+    3-D update block is skipped on the very first step
+    (advance.f:362)."""
+    h = grid.h
+    kbm1 = cfg.kbm1
+    KM1 = slice(0, kbm1)
+    dz3 = grid.dz3[:kbm1]
+    dt = h + st.et     # pre-update dt (time n)
+    etf = c.etf
+
+    u, ub, v, vb, w = st.u, st.ub, st.v, st.vb, st.w
+    t, tb, s, sb, rho = st.t, st.tb, st.s, st.sb, st.rho
+    q2, q2b, q2l, q2lb = st.q2, st.q2b, st.q2l, st.q2lb
+    km, kh, kq, l = st.km, st.kh, st.kq, st.l
+    wubot, wvbot = c.wubot, c.wvbot
+
+    if (not first) and cfg.mode != 2:
+        # adjust u,v so the depth mean matches the external mode
+        # (advance.f:364-393)
+        tps = jnp.sum(u[:kbm1] * dz3, axis=0)
+        u = u.at[KM1, 1:, :].set(
+            ((u - tps) + (st.utb + c.utf) / (dt + sft(dt, -1, 0)))
+            [KM1, 1:, :])
+        tps = jnp.sum(v[:kbm1] * dz3, axis=0)
+        v = v.at[KM1, :, 1:].set(
+            ((v - tps) + (st.vtb + c.vtf) / (dt + sft(dt, 0, -1)))
+            [KM1, :, 1:])
+
+        # vertical velocity (advance.f:396-400)
+        w = continuity.vertvl(grid, cfg, w, u, v, dt, etf, st.etb,
+                              st.vfluxb, fc.vflux)
+        w = bco.orl_w(grid, cfg, w)   # idx 5 is a pure mask in both schemes
+
+        # --- turbulence (advance.f:406-421) ---
+        q2f = tracers.advq(grid, cfg, q2b, q2, u, v, w, aam, dt,
+                           st.etb, etf)
+        q2lf = tracers.advq(grid, cfg, q2lb, q2l, u, v, w, aam, dt,
+                            st.etb, etf)
+        (q2f, q2lf, km, kh, kq, l, q2b, q2lb) = vertical.profq(
+            grid, cfg, q2f, q2lf, q2, q2b, q2lb, u, v, t, s, rho,
+            km, kh, kq, l, etf, fc.wusurf, fc.wvsurf, wubot, wvbot)
+        if cfg.bc_scheme == "orlanski":
+            q2f, q2lf = bco.orl_turb(grid, cfg, q2f, q2lf)
+        else:
+            q2f, q2lf = bcf.bc_turb(grid, cfg, q2f, q2lf, q2, q2l, u, v)
+
+        q2 = q2 + 0.5 * cfg.smoth * (q2f + q2b - 2.0 * q2)
+        q2l = q2l + 0.5 * cfg.smoth * (q2lf + q2lb - 2.0 * q2l)
+        q2b = q2
+        q2 = q2f
+        q2lb = q2l
+        q2l = q2lf
+
+        # --- tracers (advance.f:424-456) ---
+        if cfg.mode != 4:
+            adv = tracers.advt1 if cfg.nadv == 1 else tracers.advt2
+            tf = adv(grid, cfg, tb, t, tclim, u, v, w, aam, dt, st.etb, etf)
+            sf = adv(grid, cfg, sb, s, sclim, u, v, w, aam, dt, st.etb, etf)
+            tf = vertical.proft(grid, cfg, tf, fc.wtsurf, fc.tsurf,
+                                cfg.nbct, kh, etf, fc.swrad)
+            sf = vertical.proft(grid, cfg, sf, fc.wssurf, fc.ssurf,
+                                cfg.nbcs, kh, etf, fc.swrad)
+            if cfg.bc_scheme == "orlanski":
+                tf, sf = bco.orl_ts(grid, cfg, tf, sf, t, tb, s, sb, ub, fc)
+            else:
+                tf, sf = bcf.bc_ts(grid, cfg, tf, sf, t, s, u, v, w, dt, fc)
+
+            t = t + 0.5 * cfg.smoth * (tf + tb - 2.0 * t)
+            s = s + 0.5 * cfg.smoth * (sf + sb - 2.0 * s)
+            tb = t
+            t = tf
+            sb = s
+            s = sf
+
+            if cfg.do_restore:
+                # interior restoring toward climatology
+                # (bounds_forcing.f:1097-1118)
+                fac = 2.0 * cfg.dti / 86400.0 * fc.taurstr
+                t = t.at[KM1].set(
+                    ((t + fac * (fc.trstr - t)) * grid.fsm)[KM1])
+                tb = tb.at[KM1].set(
+                    ((tb + fac * (fc.trstr - tb)) * grid.fsm)[KM1])
+                s = s.at[KM1].set(
+                    ((s + fac * (fc.srstr - s)) * grid.fsm)[KM1])
+                sb = sb.at[KM1].set(
+                    ((sb + fac * (fc.srstr - sb)) * grid.fsm)[KM1])
+
+            rho = density.dens(grid, cfg, s, t)
+
+        # --- momentum (advance.f:459-521) ---
+        uf = momentum.advu(grid, cfg, u, ub, v, w, advx, drhox, dt,
+                           c.egf, st.egb, fc.e_atmos, st.etb, etf)
+        vf = momentum.advv(grid, cfg, v, vb, u, w, advy, drhoy, dt,
+                           c.egf, st.egb, fc.e_atmos, st.etb, etf)
+        uf, wubot = vertical.profu(grid, cfg, uf, ub, vb, km, etf, fc.wusurf)
+        vf, wvbot = vertical.profv(grid, cfg, vf, ub, vb, km, etf, fc.wvsurf)
+        if cfg.bc_scheme == "file":
+            uf, vf = bcf.bc_vel3d(grid, cfg, uf, vf, u, v, h + c.el, fc)
+        else:
+            uf, vf = bco.orl_vel3d(grid, cfg, uf, vf, u, ub, v, vb)
+
+        # Asselin filter with depth-mean correction (advance.f:469-509)
+        tps = jnp.sum((uf + ub - 2.0 * u)[:kbm1] * dz3, axis=0)
+        u = u + 0.5 * cfg.smoth * (uf + ub - 2.0 * u - tps)
+        tps = jnp.sum((vf + vb - 2.0 * v)[:kbm1] * dz3, axis=0)
+        v = v + 0.5 * cfg.smoth * (vf + vb - 2.0 * v - tps)
+        ub = u
+        u = uf
+        vb = v
+        v = vf
+
+    # final time-level copies (advance.f:525-531)
+    return st.replace(
+        u=u, ub=ub, v=v, vb=vb, w=w, t=t, tb=tb, s=s, sb=sb, rho=rho,
+        q2=q2, q2b=q2b, q2l=q2l, q2lb=q2lb, km=km, kh=kh, kq=kq, l=l,
+        aam=aam,
+        el=c.el, elb=c.elb, ua=c.ua, uab=c.uab, va=c.va, vab=c.vab,
+        egb=c.egf,
+        etb=st.et, et=etf, etf=etf,
+        utb=c.utf, vtb=c.vtf,
+        vfluxb=fc.vflux, vfluxf=fc.vflux,
+        advua=c.advua, advva=c.advva, wubot=wubot, wvbot=wvbot,
+    )
+
+
+# ---------------------------------------------------------------------------
+# full step
+# ---------------------------------------------------------------------------
+
+def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
+         rmean: jnp.ndarray, tclim: jnp.ndarray, sclim: jnp.ndarray,
+         first: bool = False) -> State:
+    """Advance one internal time step (advance.f:6-59, minus host-side I/O).
+
+    ``rmean``/``tclim``/``sclim`` are the climatology fields (static over a
+    run, but passed as arrays so one compilation serves any case).
+    """
+    # lateral viscosity + 3-D advection/pressure terms (advance.f:21)
+    if cfg.mode != 2:
+        dt = grid.h + st.et
+        advx, advy = momentum.advct(grid, cfg, st.u, st.v, st.ub, st.vb,
+                                    st.aam, dt)
+        if cfg.npg == 1:
+            drhox, drhoy = pressure.baropg(grid, cfg, st.rho, rmean, dt,
+                                           fc.ramp)
+        else:
+            drhox, drhoy = pressure.baropg_mcc(grid, cfg, st.rho, rmean,
+                                               grid.h + st.el, dt, fc.ramp)
+        dx, dy, u, v = grid.dx, grid.dy, st.u, st.v
+        aam_new = (cfg.horcon * dx * dy
+                   * jnp.sqrt(((sft(u, 1, 0) - u) / dx) ** 2
+                              + ((sft(v, 0, 1) - v) / dy) ** 2
+                              + 0.5 * (0.25 * (sft(u, 0, 1) + sft(u, 1, 1)
+                                               - sft(u, 0, -1) - sft(u, 1, -1))
+                                       / dy
+                                       + 0.25 * (sft(v, 1, 0) + sft(v, 1, 1)
+                                                 - sft(v, -1, 0)
+                                                 - sft(v, -1, 1))
+                                       / dx) ** 2))
+        aam = st.aam.at[:cfg.kbm1, 1:-1, 1:-1].set(
+            aam_new[:cfg.kbm1, 1:-1, 1:-1])
+    else:
+        aam = st.aam
+        advx = advy = drhox = drhoy = None
+
+    # vertical averages for the external mode (advance.f:24)
+    (adx2d, ady2d, drx2d, dry2d, aam2d, advua, advva, wubot, wvbot,
+     egf, utf, vtf) = mode_interaction(grid, cfg, st, aam, advx, advy,
+                                       drhox, drhoy)
+
+    # external mode loop (advance.f:27-29)
+    carry0 = ExtCarry(el=st.el, elb=st.elb, ua=st.ua, uab=st.uab,
+                      va=st.va, vab=st.vab, etf=st.etf, egf=egf,
+                      utf=utf, vtf=vtf, advua=advua, advva=advva,
+                      wubot=wubot, wvbot=wvbot)
+    aux = (adx2d, ady2d, drx2d, dry2d, aam2d)
+
+    def body(i, c):
+        return mode_external_substep(grid, cfg, c, i, fc, aux)
+
+    carry = lax.fori_loop(1, cfg.isplit + 1, body, carry0)
+
+    # internal mode (advance.f:32)
+    st = mode_internal(grid, cfg, st, fc, carry, aam, advx, advy,
+                       drhox, drhoy, rmean, tclim, sclim, first)
+    return st.replace(adx2d=adx2d, ady2d=ady2d, drx2d=drx2d, dry2d=dry2d,
+                      aam2d=aam2d)
+
+
+def make_step_fn(grid: Grid, cfg: Config, donate: bool = True):
+    """Build jitted step functions (regular and first-step variants)."""
+    kw = dict(static_argnames=("first",))
+    if donate:
+        kw["donate_argnums"] = (0,)
+
+    @functools.partial(jax.jit, **kw)
+    def _step(st, fc, rmean, tclim, sclim, first=False):
+        return step(grid, cfg, st, fc, rmean, tclim, sclim, first=first)
+
+    return _step

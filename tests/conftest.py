@@ -1,0 +1,15 @@
+"""Test configuration: force the CPU backend with 8 virtual devices (for
+sharding tests) and enable float64 (for validation-grade numerics), before
+JAX is first imported."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
