@@ -2,8 +2,10 @@
 
 Mirrors ``bcond(idx)`` (bounds_forcing.f:6-328).  The reference's
 ``n_west.eq.-1``-style rank conditionals disappear: on global arrays the
-physical edges are simply the first/last rows and columns, and under SPMD
-sharding XLA routes each edge update to the shard that owns it.
+physical edges are simply the first/last rows and columns, and every edge
+write is a branch-free masked select (:func:`extpom_tpu.ops.stencil.set_i`
+etc.), so under SPMD sharding each shard executes the identical program and
+the mask picks out the shard that owns the edge.
 
 Each function is pure: it takes the fields it modifies plus what it reads,
 and returns the updated fields.  Side order within each function matches the
@@ -19,17 +21,17 @@ import jax.numpy as jnp
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
 from extpom_tpu.core.state import Forcing
-from extpom_tpu.ops.stencil import sfk
+from extpom_tpu.ops.stencil import sfk, put, set_i, set_j, s_
 
 
 def bc_el(grid: Grid, cfg: Config, elf: jnp.ndarray,
           fc: Forcing) -> jnp.ndarray:
     """idx=1: external elevation, zero-gradient at open edges
     (bounds_forcing.f:18-41)."""
-    elf = elf.at[0, :].set(elf[1, :])      # west
-    elf = elf.at[-1, :].set(elf[-2, :])    # east
-    elf = elf.at[:, 0].set(elf[:, 1])      # south
-    elf = elf.at[:, -1].set(elf[:, -2])    # north
+    elf = set_i(elf, 0, elf[1, :])      # west
+    elf = set_i(elf, -1, elf[-2, :])    # east
+    elf = set_j(elf, 0, elf[:, 1])      # south
+    elf = set_j(elf, -1, elf[:, -2])    # north
     return elf * grid.fsm
 
 
@@ -41,24 +43,29 @@ def bc_vel2d(grid: Grid, cfg: Config,
     (bounds_forcing.f:43-83)."""
     g = cfg.grav
     J = slice(1, -1)
+    I = slice(1, -1)
     # west
-    uaf = uaf.at[1, J].set(ramp * (
-        fc.uabw[J] - cfg.rfw * jnp.sqrt(g / d[1, J]) * (el[1, J] - fc.elw[J])))
-    uaf = uaf.at[0, J].set(uaf[1, J])
-    vaf = vaf.at[0, J].set(fc.vabw[J])
+    uaf = set_i(uaf, 1, ramp * (
+        fc.uabw - cfg.rfw * jnp.sqrt(g / d[1, :]) * (el[1, :] - fc.elw)),
+        j=J)
+    uaf = set_i(uaf, 0, uaf[1, :], j=J)
+    vaf = set_i(vaf, 0, fc.vabw, j=J)
     # east
-    uaf = uaf.at[-1, J].set(ramp * (
-        fc.uabe[J] + cfg.rfe * jnp.sqrt(g / d[-2, J]) * (el[-2, J] - fc.ele[J])))
-    vaf = vaf.at[-1, J].set(fc.vabe[J])
+    uaf = set_i(uaf, -1, ramp * (
+        fc.uabe + cfg.rfe * jnp.sqrt(g / d[-2, :]) * (el[-2, :] - fc.ele)),
+        j=J)
+    vaf = set_i(vaf, -1, fc.vabe, j=J)
     # south
-    vaf = vaf.at[J, 1].set(ramp * (
-        fc.vabs[J] - cfg.rfs * jnp.sqrt(g / d[J, 1]) * (el[J, 1] - fc.els[J])))
-    vaf = vaf.at[J, 0].set(vaf[J, 1])
-    uaf = uaf.at[J, 0].set(fc.uabs[J])
+    vaf = set_j(vaf, 1, ramp * (
+        fc.vabs - cfg.rfs * jnp.sqrt(g / d[:, 1]) * (el[:, 1] - fc.els)),
+        i=I)
+    vaf = set_j(vaf, 0, vaf[:, 1], i=I)
+    uaf = set_j(uaf, 0, fc.uabs, i=I)
     # north
-    vaf = vaf.at[J, -1].set(ramp * (
-        fc.vabn[J] + cfg.rfn * jnp.sqrt(g / d[J, -2]) * (el[J, -2] - fc.eln[J])))
-    uaf = uaf.at[J, -1].set(fc.uabn[J])
+    vaf = set_j(vaf, -1, ramp * (
+        fc.vabn + cfg.rfn * jnp.sqrt(g / d[:, -2]) * (el[:, -2] - fc.eln)),
+        i=I)
+    uaf = set_j(uaf, -1, fc.uabn, i=I)
 
     return uaf * grid.dum, vaf * grid.dvm
 
@@ -72,6 +79,7 @@ def bc_vel3d(grid: Grid, cfg: Config,
     kbm1 = cfg.kbm1
     K = slice(0, kbm1)
     J = slice(1, -1)
+    I = slice(1, -1)
     hmax = jnp.max(d)
 
     def smooth(a):  # tangential 1-2-1 average along the side axis
@@ -80,31 +88,26 @@ def bc_vel3d(grid: Grid, cfg: Config,
 
     # east (i = im-1)
     ga = jnp.sqrt(d[-1, :] / hmax)              # (jm,)
-    ui = smooth(u[:, -2, :])                    # (kb, jm) over j
-    ub_ = smooth(fc.ube)
-    uf = uf.at[K, -1, J].set((ga * ui + (1.0 - ga) * ub_)[K, J])
-    vf = vf.at[K, -1, J].set(fc.vbe[K, J])
+    uf = set_i(uf, -1, ga * smooth(u[:, -2, :]) + (1.0 - ga) * smooth(fc.ube),
+               j=J, k=K)
+    vf = set_i(vf, -1, fc.vbe, j=J, k=K)
     # west (i = 0; u-face at i=1)
     ga = jnp.sqrt(d[0, :] / hmax)
-    ui = smooth(u[:, 2, :])
-    ub_ = smooth(fc.ubw)
-    uf = uf.at[K, 1, J].set((ga * ui + (1.0 - ga) * ub_)[K, J])
-    uf = uf.at[K, 0, J].set(uf[K, 1, J])
-    vf = vf.at[K, 0, J].set(fc.vbw[K, J])
+    uf = set_i(uf, 1, ga * smooth(u[:, 2, :]) + (1.0 - ga) * smooth(fc.ubw),
+               j=J, k=K)
+    uf = set_i(uf, 0, uf[:, 1, :], j=J, k=K)
+    vf = set_i(vf, 0, fc.vbw, j=J, k=K)
     # south (j = 0; v-face at j=1)
-    I = slice(1, -1)
     ga = jnp.sqrt(d[:, 0] / hmax)
-    vi = smooth(v[:, :, 2])
-    vb_ = smooth(fc.vbs)
-    vf = vf.at[K, I, 1].set((ga * vi + (1.0 - ga) * vb_)[K, I])
-    vf = vf.at[K, I, 0].set(vf[K, I, 1])
-    uf = uf.at[K, I, 0].set(fc.ubs[K, I])
+    vf = set_j(vf, 1, ga * smooth(v[:, :, 2]) + (1.0 - ga) * smooth(fc.vbs),
+               i=I, k=K)
+    vf = set_j(vf, 0, vf[:, :, 1], i=I, k=K)
+    uf = set_j(uf, 0, fc.ubs, i=I, k=K)
     # north (j = jm-1)
     ga = jnp.sqrt(d[:, -1] / hmax)
-    vi = smooth(v[:, :, -2])
-    vb_ = smooth(fc.vbn)
-    vf = vf.at[K, I, -1].set((ga * vi + (1.0 - ga) * vb_)[K, I])
-    uf = uf.at[K, I, -1].set(fc.ubn[K, I])
+    vf = set_j(vf, -1, ga * smooth(v[:, :, -2]) + (1.0 - ga) * smooth(fc.vbn),
+               i=I, k=K)
+    uf = set_j(uf, -1, fc.ubn, i=I, k=K)
 
     return uf * grid.dum, vf * grid.dvm
 
@@ -148,39 +151,39 @@ def bc_ts(grid: Grid, cfg: Config,
     u1e = 2.0 * u[:, -1, :] * cfg.dti / (grid.dx[-1, :] + grid.dx[-2, :])
     tfe = side(t, fc.tbe, (-1,), (-2,), u1e, w[:, -2, :], dt[-2, :], True)
     sfe = side(s, fc.sbe, (-1,), (-2,), u1e, w[:, -2, :], dt[-2, :], True)
-    uf = uf.at[K, -1, :].set(tfe[K])
-    vf = vf.at[K, -1, :].set(sfe[K])
+    uf = set_i(uf, -1, tfe, k=K)
+    vf = set_i(vf, -1, sfe, k=K)
     # west (bounds_forcing.f:175-191)
     u1w = 2.0 * u[:, 1, :] * cfg.dti / (grid.dx[0, :] + grid.dx[1, :])
     tfw = side(t, fc.tbw, (0,), (1,), u1w, w[:, 1, :], dt[1, :], False)
     sfw = side(s, fc.sbw, (0,), (1,), u1w, w[:, 1, :], dt[1, :], False)
-    uf = uf.at[K, 0, :].set(tfw[K])
-    vf = vf.at[K, 0, :].set(sfw[K])
+    uf = set_i(uf, 0, tfw, k=K)
+    vf = set_i(vf, 0, sfw, k=K)
     # south: full i range (bounds_forcing.f:194-211)
     u1s = 2.0 * v[:, :, 1] * cfg.dti / (grid.dy[:, 0] + grid.dy[:, 1])
     tfs = side(t.transpose(0, 2, 1), fc.tbs, (0,), (1,), u1s,
                w[:, :, 1], dt[:, 1], False)
     sfs = side(s.transpose(0, 2, 1), fc.sbs, (0,), (1,), u1s,
                w[:, :, 1], dt[:, 1], False)
-    uf = uf.at[K, :, 0].set(tfs[K])
-    vf = vf.at[K, :, 0].set(sfs[K])
+    uf = set_j(uf, 0, tfs, k=K)
+    vf = set_j(vf, 0, sfs, k=K)
     # north (bounds_forcing.f:213-229)
     u1n = 2.0 * v[:, :, -1] * cfg.dti / (grid.dy[:, -1] + grid.dy[:, -2])
     tfn = side(t.transpose(0, 2, 1), fc.tbn, (-1,), (-2,), u1n,
                w[:, :, -2], dt[:, -2], True)
     sfn = side(s.transpose(0, 2, 1), fc.sbn, (-1,), (-2,), u1n,
                w[:, :, -2], dt[:, -2], True)
-    uf = uf.at[K, :, -1].set(tfn[K])
-    vf = vf.at[K, :, -1].set(sfn[K])
+    uf = set_j(uf, -1, tfn, k=K)
+    vf = set_j(vf, -1, sfn, k=K)
 
-    uf = uf.at[K].set((uf * grid.fsm)[K])
-    vf = vf.at[K].set((vf * grid.fsm)[K])
+    uf = put(uf, uf * grid.fsm, *s_[K])
+    vf = put(vf, vf * grid.fsm, *s_[K])
     return uf, vf
 
 
 def bc_w(grid: Grid, cfg: Config, w: jnp.ndarray) -> jnp.ndarray:
     """idx=5: vertical velocity mask (bounds_forcing.f:244-255)."""
-    return w.at[:cfg.kbm1].set((w * grid.fsm)[:cfg.kbm1])
+    return put(w, w * grid.fsm, *s_[:cfg.kbm1])
 
 
 def bc_turb(grid: Grid, cfg: Config,
@@ -206,20 +209,20 @@ def bc_turb(grid: Grid, cfg: Config,
 
     # west (bounds_forcing.f:263-273)
     u1w = 2.0 * u[:, 1, :] * cfg.dti / (grid.dx[0, :] + grid.dx[1, :])
-    uf = uf.at[:, 0, :].set(side(q2, (0,), (1,), u1w, False))
-    vf = vf.at[:, 0, :].set(side(q2l, (0,), (1,), u1w, False))
+    uf = set_i(uf, 0, side(q2, (0,), (1,), u1w, False))
+    vf = set_i(vf, 0, side(q2l, (0,), (1,), u1w, False))
     # east
     u1e = 2.0 * u[:, -1, :] * cfg.dti / (grid.dx[-1, :] + grid.dx[-2, :])
-    uf = uf.at[:, -1, :].set(side(q2, (-1,), (-2,), u1e, True))
-    vf = vf.at[:, -1, :].set(side(q2l, (-1,), (-2,), u1e, True))
+    uf = set_i(uf, -1, side(q2, (-1,), (-2,), u1e, True))
+    vf = set_i(vf, -1, side(q2l, (-1,), (-2,), u1e, True))
     # south
     u1s = 2.0 * v[:, :, 1] * cfg.dti / (grid.dy[:, 0] + grid.dy[:, 1])
-    uf = uf.at[:, :, 0].set(side(q2.transpose(0, 2, 1), (0,), (1,), u1s, False))
-    vf = vf.at[:, :, 0].set(side(q2l.transpose(0, 2, 1), (0,), (1,), u1s, False))
+    uf = set_j(uf, 0, side(q2.transpose(0, 2, 1), (0,), (1,), u1s, False))
+    vf = set_j(vf, 0, side(q2l.transpose(0, 2, 1), (0,), (1,), u1s, False))
     # north
     u1n = 2.0 * v[:, :, -1] * cfg.dti / (grid.dy[:, -1] + grid.dy[:, -2])
-    uf = uf.at[:, :, -1].set(side(q2.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
-    vf = vf.at[:, :, -1].set(side(q2l.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
+    uf = set_j(uf, -1, side(q2.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
+    vf = set_j(vf, -1, side(q2l.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
 
     uf = uf * grid.fsm + 1.0e-10
     vf = vf * grid.fsm + 1.0e-10

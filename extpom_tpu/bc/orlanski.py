@@ -5,7 +5,8 @@ Mirrors ``bcondorl(idx)`` (bounds_forcing.f:331-590), the alternative BC set
 these for idx 3 (internal velocity) and 5 (w mask) (advance.f:398,464).
 
 The implicit phase speed is cl = (fb_b - ff_b) / (ff_b + fb_b - 2 f_i),
-clamped to [0, 1], evaluated one row inside the boundary.
+clamped to [0, 1], evaluated one row inside the boundary.  All edge writes
+are branch-free masked selects (SPMD-sound; see ops.stencil).
 """
 
 from __future__ import annotations
@@ -16,6 +17,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
+from extpom_tpu.ops.stencil import put, set_i, set_j, s_
 
 
 def _cl(ff_b, fb_b, f_i):
@@ -30,10 +32,10 @@ def orl_el(grid: Grid, cfg: Config, elf: jnp.ndarray) -> jnp.ndarray:
     Deviation: the reference leaves the north/south rows untouched (they
     stay at the stale scratch value); here they get the same zero-gradient
     so the scheme is usable standalone with four open sides."""
-    elf = elf.at[0, :].set(elf[1, :])
-    elf = elf.at[-1, :].set(elf[-2, :])
-    elf = elf.at[:, 0].set(elf[:, 1])
-    elf = elf.at[:, -1].set(elf[:, -2])
+    elf = set_i(elf, 0, elf[1, :])
+    elf = set_i(elf, -1, elf[-2, :])
+    elf = set_j(elf, 0, elf[:, 1])
+    elf = set_j(elf, -1, elf[:, -2])
     return elf * grid.fsm
 
 
@@ -47,27 +49,31 @@ def orl_vel2d(grid: Grid, cfg: Config,
     J = slice(1, -1)
     I = slice(1, -1)
     # east (u-face at im-1; phase speed from the face at im-2)
-    cl = _cl(uaf[-2, J], uab[-2, J], ua[-3, J])
-    uaf = uaf.at[-1, J].set(
-        (uab[-1, J] * (1.0 - cl) + 2.0 * cl * ua[-2, J]) / (1.0 + cl))
-    vaf = vaf.at[-1, J].set(0.0)
+    cl = _cl(uaf[-2, :], uab[-2, :], ua[-3, :])
+    uaf = set_i(uaf, -1,
+                (uab[-1, :] * (1.0 - cl) + 2.0 * cl * ua[-2, :]) / (1.0 + cl),
+                j=J)
+    vaf = set_i(vaf, -1, 0.0, j=J)
     # west (u-face at 1)
-    cl = _cl(uaf[2, J], uab[2, J], ua[3, J])
-    uaf = uaf.at[1, J].set(
-        (uab[1, J] * (1.0 - cl) + 2.0 * cl * ua[2, J]) / (1.0 + cl))
-    uaf = uaf.at[0, J].set(uaf[1, J])
-    vaf = vaf.at[0, J].set(0.0)
+    cl = _cl(uaf[2, :], uab[2, :], ua[3, :])
+    uaf = set_i(uaf, 1,
+                (uab[1, :] * (1.0 - cl) + 2.0 * cl * ua[2, :]) / (1.0 + cl),
+                j=J)
+    uaf = set_i(uaf, 0, uaf[1, :], j=J)
+    vaf = set_i(vaf, 0, 0.0, j=J)
     # south
-    cl = _cl(vaf[I, 2], vab[I, 2], va[I, 3])
-    vaf = vaf.at[I, 1].set(
-        (vab[I, 1] * (1.0 - cl) + 2.0 * cl * va[I, 2]) / (1.0 + cl))
-    vaf = vaf.at[I, 0].set(vaf[I, 1])
-    uaf = uaf.at[I, 0].set(0.0)
+    cl = _cl(vaf[:, 2], vab[:, 2], va[:, 3])
+    vaf = set_j(vaf, 1,
+                (vab[:, 1] * (1.0 - cl) + 2.0 * cl * va[:, 2]) / (1.0 + cl),
+                i=I)
+    vaf = set_j(vaf, 0, vaf[:, 1], i=I)
+    uaf = set_j(uaf, 0, 0.0, i=I)
     # north
-    cl = _cl(vaf[I, -2], vab[I, -2], va[I, -3])
-    vaf = vaf.at[I, -1].set(
-        (vab[I, -1] * (1.0 - cl) + 2.0 * cl * va[I, -2]) / (1.0 + cl))
-    uaf = uaf.at[I, -1].set(0.0)
+    cl = _cl(vaf[:, -2], vab[:, -2], va[:, -3])
+    vaf = set_j(vaf, -1,
+                (vab[:, -1] * (1.0 - cl) + 2.0 * cl * va[:, -2]) / (1.0 + cl),
+                i=I)
+    uaf = set_j(uaf, -1, 0.0, i=I)
 
     return uaf * grid.dum, vaf * grid.dvm
 
@@ -84,31 +90,34 @@ def orl_vel3d(grid: Grid, cfg: Config,
     J = slice(1, -1)
     I = slice(1, -1)
     # east
-    cl = _cl(uf[K, -2, J], ub[K, -2, J], u[K, -3, J])
-    uf = uf.at[K, -1, J].set(
-        (ub[K, -1, J] * (1.0 - cl) + 2.0 * cl * u[K, -2, J]) / (1.0 + cl))
-    vf = vf.at[K, -1, J].set(0.0)
+    cl = _cl(uf[:, -2, :], ub[:, -2, :], u[:, -3, :])
+    uf = set_i(uf, -1,
+               (ub[:, -1, :] * (1.0 - cl) + 2.0 * cl * u[:, -2, :])
+               / (1.0 + cl), j=J, k=K)
+    vf = set_i(vf, -1, 0.0, j=J, k=K)
     # west
-    cl = _cl(uf[K, 2, J], ub[K, 2, J], u[K, 3, J])
-    uf = uf.at[K, 1, J].set(
-        (ub[K, 1, J] * (1.0 - cl) + 2.0 * cl * u[K, 2, J]) / (1.0 + cl))
-    uf = uf.at[K, 0, J].set(uf[K, 1, J])
-    vf = vf.at[K, 0, J].set(0.0)
+    cl = _cl(uf[:, 2, :], ub[:, 2, :], u[:, 3, :])
+    uf = set_i(uf, 1,
+               (ub[:, 1, :] * (1.0 - cl) + 2.0 * cl * u[:, 2, :])
+               / (1.0 + cl), j=J, k=K)
+    uf = set_i(uf, 0, uf[:, 1, :], j=J, k=K)
+    vf = set_i(vf, 0, 0.0, j=J, k=K)
     # south
-    cl = _cl(vf[K, I, 2], vb[K, I, 2], v[K, I, 3])
-    vf = vf.at[K, I, 1].set(
-        (vb[K, I, 1] * (1.0 - cl) + 2.0 * cl * v[K, I, 2]) / (1.0 + cl))
-    vf = vf.at[K, I, 0].set(vf[K, I, 1])
-    uf = uf.at[K, I, 0].set(0.0)
+    cl = _cl(vf[:, :, 2], vb[:, :, 2], v[:, :, 3])
+    vf = set_j(vf, 1,
+               (vb[:, :, 1] * (1.0 - cl) + 2.0 * cl * v[:, :, 2])
+               / (1.0 + cl), i=I, k=K)
+    vf = set_j(vf, 0, vf[:, :, 1], i=I, k=K)
+    uf = set_j(uf, 0, 0.0, i=I, k=K)
     # north
-    cl = _cl(vf[K, I, -2], vb[K, I, -2], v[K, I, -3])
-    vf = vf.at[K, I, -1].set(
-        (vb[K, I, -1] * (1.0 - cl) + 2.0 * cl * v[K, I, -2]) / (1.0 + cl))
-    uf = uf.at[K, I, -1].set(0.0)
+    cl = _cl(vf[:, :, -2], vb[:, :, -2], v[:, :, -3])
+    vf = set_j(vf, -1,
+               (vb[:, :, -1] * (1.0 - cl) + 2.0 * cl * v[:, :, -2])
+               / (1.0 + cl), i=I, k=K)
+    uf = set_j(uf, -1, 0.0, i=I, k=K)
 
-    kmask = (jnp.arange(cfg.kb) < kbm1)[:, None, None]
-    uf = jnp.where(kmask, uf * grid.dum, uf)
-    vf = jnp.where(kmask, vf * grid.dvm, vf)
+    uf = put(uf, uf * grid.dum, *s_[K])
+    vf = put(vf, vf * grid.dvm, *s_[K])
     return uf, vf
 
 
@@ -137,36 +146,36 @@ def orl_ts(grid: Grid, cfg: Config,
     ube = ub[:, -1, :]
     tfe = side_ew(uf, t, tb, -1, -2, -3, ube, fc.tbe, False)
     sfe = side_ew(vf, s, sb, -1, -2, -3, ube, fc.sbe, False)
-    uf = uf.at[K, -1, :].set(tfe[K])
-    vf = vf.at[K, -1, :].set(sfe[K])
+    uf = set_i(uf, -1, tfe, k=K)
+    vf = set_i(vf, -1, sfe, k=K)
     # west: ubw := ub(2) (bounds_forcing.f:519)
     ubw = ub[:, 1, :]
     tfw = side_ew(uf, t, tb, 0, 1, 2, ubw, fc.tbw, True)
     sfw = side_ew(vf, s, sb, 0, 1, 2, ubw, fc.sbw, True)
-    uf = uf.at[K, 0, :].set(tfw[K])
-    vf = vf.at[K, 0, :].set(sfw[K])
+    uf = set_i(uf, 0, tfw, k=K)
+    vf = set_i(vf, 0, sfw, k=K)
 
     # Deviation: zero-gradient north/south edges (the reference leaves them
     # at stale scratch values; see orl_el).
-    uf = uf.at[K, :, 0].set(uf[K, :, 1])
-    uf = uf.at[K, :, -1].set(uf[K, :, -2])
-    vf = vf.at[K, :, 0].set(vf[K, :, 1])
-    vf = vf.at[K, :, -1].set(vf[K, :, -2])
+    uf = set_j(uf, 0, uf[:, :, 1], k=K)
+    uf = set_j(uf, -1, uf[:, :, -2], k=K)
+    vf = set_j(vf, 0, vf[:, :, 1], k=K)
+    vf = set_j(vf, -1, vf[:, :, -2], k=K)
 
-    uf = uf.at[K].set((uf * grid.fsm)[K])
-    vf = vf.at[K].set((vf * grid.fsm)[K])
+    uf = put(uf, uf * grid.fsm, *s_[K])
+    vf = put(vf, vf * grid.fsm, *s_[K])
     return uf, vf
 
 
 def orl_w(grid: Grid, cfg: Config, w: jnp.ndarray) -> jnp.ndarray:
     """idx=5: w mask (bounds_forcing.f:550-561)."""
-    return w.at[:cfg.kbm1].set((w * grid.fsm)[:cfg.kbm1])
+    return put(w, w * grid.fsm, *s_[:cfg.kbm1])
 
 
 def orl_turb(grid: Grid, cfg: Config,
              uf: jnp.ndarray, vf: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """idx=6: q2/q2l — clamp west/east edges to 1e-10, mask by fsm
     (bounds_forcing.f:563-585)."""
-    uf = uf.at[:, 0, :].set(1.0e-10).at[:, -1, :].set(1.0e-10)
-    vf = vf.at[:, 0, :].set(1.0e-10).at[:, -1, :].set(1.0e-10)
+    uf = set_i(set_i(uf, 0, 1.0e-10), -1, 1.0e-10)
+    vf = set_i(set_i(vf, 0, 1.0e-10), -1, 1.0e-10)
     return uf * grid.fsm, vf * grid.fsm

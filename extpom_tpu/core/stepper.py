@@ -66,10 +66,11 @@ def mode_interaction(grid: Grid, cfg: Config, st: State,
         advua, advva, wubot, wvbot = st.advua, st.advva, st.wubot, st.wvbot
 
     egf = st.el * cfg.ispi
-    utf = jnp.zeros_like(d).at[1:, :].set(
-        (st.ua * (d + sft(d, -1, 0)) * cfg.isp2i)[1:, :])
-    vtf = jnp.zeros_like(d).at[:, 1:].set(
-        (st.va * (d + sft(d, 0, -1)) * cfg.isp2i)[:, 1:])
+    z2 = jnp.zeros_like(d)
+    utf = put(z2, st.ua * (d + sft(d, -1, 0)) * cfg.isp2i,
+              slice(1, None), slice(None))
+    vtf = put(z2, st.va * (d + sft(d, 0, -1)) * cfg.isp2i,
+              slice(None), slice(1, None))
 
     return (adx2d, ady2d, drx2d, dry2d, aam2d, advua, advva, wubot, wvbot,
             egf, utf, vtf)
@@ -239,13 +240,11 @@ def mode_internal(grid: Grid, cfg: Config, st: State, fc: Forcing,
         # adjust u,v so the depth mean matches the external mode
         # (advance.f:364-393)
         tps = jnp.sum(u[:kbm1] * dz3, axis=0)
-        u = u.at[KM1, 1:, :].set(
-            ((u - tps) + (st.utb + c.utf) / (dt + sft(dt, -1, 0)))
-            [KM1, 1:, :])
+        u = put(u, (u - tps) + (st.utb + c.utf) / (dt + sft(dt, -1, 0)),
+                KM1, slice(1, None), slice(None))
         tps = jnp.sum(v[:kbm1] * dz3, axis=0)
-        v = v.at[KM1, :, 1:].set(
-            ((v - tps) + (st.vtb + c.vtf) / (dt + sft(dt, 0, -1)))
-            [KM1, :, 1:])
+        v = put(v, (v - tps) + (st.vtb + c.vtf) / (dt + sft(dt, 0, -1)),
+                KM1, slice(None), slice(1, None))
 
         # vertical velocity (advance.f:396-400)
         w = continuity.vertvl(grid, cfg, w, u, v, dt, etf, st.etb,
@@ -297,14 +296,13 @@ def mode_internal(grid: Grid, cfg: Config, st: State, fc: Forcing,
                 # interior restoring toward climatology
                 # (bounds_forcing.f:1097-1118)
                 fac = 2.0 * cfg.dti / 86400.0 * fc.taurstr
-                t = t.at[KM1].set(
-                    ((t + fac * (fc.trstr - t)) * grid.fsm)[KM1])
-                tb = tb.at[KM1].set(
-                    ((tb + fac * (fc.trstr - tb)) * grid.fsm)[KM1])
-                s = s.at[KM1].set(
-                    ((s + fac * (fc.srstr - s)) * grid.fsm)[KM1])
-                sb = sb.at[KM1].set(
-                    ((sb + fac * (fc.srstr - sb)) * grid.fsm)[KM1])
+                A = (slice(None), slice(None))
+                t = put(t, (t + fac * (fc.trstr - t)) * grid.fsm, KM1, *A)
+                tb = put(tb, (tb + fac * (fc.trstr - tb)) * grid.fsm,
+                         KM1, *A)
+                s = put(s, (s + fac * (fc.srstr - s)) * grid.fsm, KM1, *A)
+                sb = put(sb, (sb + fac * (fc.srstr - sb)) * grid.fsm,
+                         KM1, *A)
 
             rho = density.dens(grid, cfg, s, t)
 
@@ -378,8 +376,8 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
                                                  - sft(v, -1, 0)
                                                  - sft(v, -1, 1))
                                        / dx) ** 2))
-        aam = st.aam.at[:cfg.kbm1, 1:-1, 1:-1].set(
-            aam_new[:cfg.kbm1, 1:-1, 1:-1])
+        aam = put(st.aam, aam_new, slice(0, cfg.kbm1),
+                  slice(1, -1), slice(1, -1))
     else:
         aam = st.aam
         advx = advy = drhox = drhoy = None

@@ -1,0 +1,163 @@
+"""Host-side forcing providers.
+
+Replaces the reference's file-driven forcing refresh inside the time loop
+(``wind``/``heat``/``surface``/``water``/``lateral_bc``,
+bounds_forcing.f:593-1020): every ``twind=0.125`` day the reference blocks
+all ranks on a collective PnetCDF read, double-buffers the two bracketing
+records, and linearly interpolates in time each step.
+
+Here the same record cadence + linear interpolation is expressed as a pure
+function of the step counter, with an LRU record cache plus an async
+prefetch thread in place of the b/f double buffers — the device never
+blocks on I/O and the jitted step function stays pure (it just receives a
+fresh :class:`Forcing` pytree).
+
+Sources yield numpy arrays per record index; :class:`ArraySource` serves
+in-memory data, :class:`extpom_tpu.io.zarrstore.ZarrSource` chunked
+on-disk data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from functools import lru_cache
+from typing import Callable, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.grid import Grid
+from extpom_tpu.core.state import Forcing
+
+# record cadences in days (bounds_forcing.f:607 tbc=1/24; :886 twind=0.125;
+# :929 theat=0.125; :1000 twater=30)
+TBC = 1.0 / 24.0
+TSURF = 0.125
+TWATER = 30.0
+
+
+class ArraySource:
+    """In-memory record source: ``data[name]`` has shape (nrec, ...).
+
+    Record indices clamp to the available range (the reference would fail
+    the read; clamping lets short series behave as 'hold last record')."""
+
+    def __init__(self, data: Dict[str, np.ndarray]):
+        self.data = data
+
+    def nrec(self, name: str) -> int:
+        return self.data[name].shape[0]
+
+    def read(self, name: str, n: int) -> np.ndarray:
+        a = self.data[name]
+        return a[min(max(n, 0), a.shape[0] - 1)]
+
+    def names(self):
+        return self.data.keys()
+
+
+# variable-name groups, matching the reference's dataset contents (§2.5)
+WIND_VARS = ("wusurf", "wvsurf")                       # .sfrc wind stress
+HEAT_VARS = ("wtsurf", "swrad")                        # .sfrc heat fluxes
+SURF_VARS = ("tsurf", "ssurf")                         # .sfrc SST/SSS
+WATER_VARS = ("wssurf",)                               # .water freshwater
+BRY_SIDES = ("w", "e", "s", "n")
+BRY_2D = tuple(f"el{s}" for s in BRY_SIDES)            # zeta.* series
+BRY_3D = tuple(f"{v}b{s}" for v in ("t", "s", "u", "v") for s in BRY_SIDES)
+
+
+class ForcingProvider:
+    """Builds one time-interpolated :class:`Forcing` per internal step.
+
+    ``sources`` maps variable names to record sources; any variable not
+    provided keeps the value from ``base`` (typically the edge-seeded
+    forcing of the cold start).  ``cont_bry_offset`` continues the lateral
+    boundary record counter across restarts (initialize.f:198,
+    bounds_forcing.f:613).
+    """
+
+    def __init__(self, grid: Grid, cfg: Config, base: Forcing,
+                 source: Optional[ArraySource] = None,
+                 bry_cadence_days: float = TBC,
+                 surf_cadence_days: float = TSURF,
+                 cont_bry_offset: int = 0,
+                 prefetch: bool = True):
+        self.grid = grid
+        self.cfg = cfg
+        self.base = base
+        self.source = source
+        self.tbc = bry_cadence_days
+        self.tsurf_cad = surf_cadence_days
+        self.cont_bry_offset = cont_bry_offset
+        self._pool = ThreadPoolExecutor(max_workers=1) if prefetch else None
+        self._prefetched: Dict[tuple, object] = {}
+        self._cache: Dict[tuple, np.ndarray] = {}
+
+    # -- record access with prefetch ------------------------------------
+    def _read(self, name: str, n: int) -> np.ndarray:
+        key = (name, n)
+        if key in self._cache:
+            return self._cache[key]
+        fut = self._prefetched.pop(key, None)
+        rec = fut.result() if fut is not None else self.source.read(name, n)
+        self._cache[key] = rec
+        if len(self._cache) > 64:            # bounded double-buffer cache
+            self._cache.pop(next(iter(self._cache)))
+        if self._pool is not None:           # prefetch the next record
+            nxt = (name, n + 1)
+            if nxt not in self._cache and nxt not in self._prefetched:
+                self._prefetched[nxt] = self._pool.submit(
+                    self.source.read, name, n + 1)
+        return rec
+
+    def _interp(self, name: str, time_days: float, cadence: float):
+        """Bracketing records + linear interpolation
+        (bounds_forcing.f:841-865 pattern: field=(1-frac)*b + frac*f)."""
+        x = time_days / cadence
+        n = int(np.floor(x))
+        frac = x - n
+        b = self._read(name, n)
+        f = self._read(name, n + 1)
+        return (1.0 - frac) * b + frac * f
+
+    # -- per-step assembly -----------------------------------------------
+    def __call__(self, model, iint: int) -> Forcing:
+        cfg = self.cfg
+        t_days = cfg.dti * iint / 86400.0 + model.time0
+        fc = self.base
+        if self.source is None:
+            return fc
+        names = set(self.source.names())
+        upd = {}
+
+        for v in WIND_VARS + HEAT_VARS + WATER_VARS:
+            if v in names:
+                upd[v] = jnp.asarray(
+                    self._interp(v, t_days, self.tsurf_cad), cfg.jnp_dtype)
+        for v in SURF_VARS:                   # no time interpolation
+            if v in names:                    # (bounds_forcing.f:963-983)
+                n = int(np.floor(t_days / self.tsurf_cad))
+                upd[v] = jnp.asarray(self._read(v, n), cfg.jnp_dtype)
+
+        # lateral boundary series, offset by cont_bry
+        toff = self.cont_bry_offset * self.tbc
+        bry = {}
+        for v in BRY_2D + BRY_3D:
+            if v in names:
+                bry[v] = self._interp(v, t_days + toff, self.tbc)
+                upd[v] = jnp.asarray(bry[v], cfg.jnp_dtype)
+
+        # depth-integrate boundary velocity profiles to barotropic values
+        # (bounds_forcing.f:626-635, 747-756: uab* = sum_k ub*(k) dz(k))
+        dz = np.asarray(self.grid.dz)[:cfg.kbm1, None]
+        for side in BRY_SIDES:
+            un = f"ub{side}" if side in ("w", "e") else f"vb{side}"
+            tn = f"uab{side}" if side in ("w", "e") else f"vab{side}"
+            if un in bry:
+                upd[tn] = jnp.asarray(
+                    (np.asarray(bry[un])[:cfg.kbm1] * dz).sum(0),
+                    cfg.jnp_dtype)
+
+        return fc.replace(**upd) if upd else fc

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
-from extpom_tpu.ops.stencil import sft, put
+from extpom_tpu.ops.stencil import sft, put, s_
 
 
 def advave(grid: Grid, cfg: Config,

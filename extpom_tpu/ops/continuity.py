@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
-from extpom_tpu.ops.stencil import sft, sfk
+from extpom_tpu.ops.stencil import sft, sfk, put, set_i, set_j, set_k, s_
 
 
 def vertvl(grid: Grid, cfg: Config,
@@ -26,16 +26,11 @@ def vertvl(grid: Grid, cfg: Config,
     KM1 = slice(0, kbm1)
     z3 = jnp.zeros_like(w)
 
-    xflux = z3.at[KM1, 1:, 1:].set(
-        (0.25 * (dy + sft(dy, -1, 0)) * (dt + sft(dt, -1, 0)) * u)
-        [KM1, 1:, 1:])
-    yflux = z3.at[KM1, 1:, 1:].set(
-        (0.25 * (dx + sft(dx, 0, -1)) * (dt + sft(dt, 0, -1)) * v)
-        [KM1, 1:, 1:])
+    xflux = put(z3, (0.25 * (dy + sft(dy, -1, 0)) * (dt + sft(dt, -1, 0)) * u), *s_[KM1, 1:, 1:])
+    yflux = put(z3, (0.25 * (dx + sft(dx, 0, -1)) * (dt + sft(dt, 0, -1)) * v), *s_[KM1, 1:, 1:])
 
     # surface volume flux (solver.f:2002-2006)
-    w = w.at[0, 1:-1, 1:-1].set(
-        (0.5 * (vfluxb + vfluxf))[1:-1, 1:-1])
+    w = put(w, 0.5 * (vfluxb + vfluxf), *s_[0, 1:-1, 1:-1])
 
     # downward cumulative divergence (solver.f:2008-2018):
     # w[k+1] = w[k] + dz[k]*(div[k] + (etf-etb)/dti2)
@@ -43,7 +38,8 @@ def vertvl(grid: Grid, cfg: Config,
                        / (dx * dy)
                        + (etf - etb) / cfg.dti2))
     wcum = w[0][None] + jnp.cumsum(inc[:kbm1], axis=0)
-    w = w.at[1:, 1:-1, 1:-1].set(wcum[:, 1:-1, 1:-1])
+    w = put(w, jnp.concatenate([w[:1], wcum], axis=0),
+            *s_[1:, 1:-1, 1:-1])
     return w
 
 
@@ -63,18 +59,17 @@ def realvertvl(grid: Grid, cfg: Config,
     dyt = 2.0 / (sft(dy, 0, 1) + dy)
     dyb = 2.0 / (dy + sft(dy, 0, -1))
 
-    wr = z3.at[KM1, 1:-1, 1:-1].set(
-        (0.5 * (w + sfk(w, 1))
+    wr = put(z3, (0.5 * (w + sfk(w, 1))
          + 0.5 * (sft(u, 1, 0) * (sft(tps, 1, 0) - tps) * dxr
                   + u * (tps - sft(tps, -1, 0)) * dxl
                   + sft(v, 0, 1) * (sft(tps, 0, 1) - tps) * dyt
                   + v * (tps - sft(tps, 0, -1)) * dyb)
-         + (1.0 + grid.zz3) * (etf - etb) / cfg.dti2)[KM1, 1:-1, 1:-1])
+         + (1.0 + grid.zz3) * (etf - etb) / cfg.dti2), *s_[KM1, 1:-1, 1:-1])
 
     # physical-edge copies, reference order S, N, W, E (solver.f:2057-2060)
-    wr = wr.at[:, :, 0].set(wr[:, :, 1])
-    wr = wr.at[:, :, -1].set(wr[:, :, -2])
-    wr = wr.at[:, 0, :].set(wr[:, 1, :])
-    wr = wr.at[:, -1, :].set(wr[:, -2, :])
+    wr = set_j(wr, 0, wr[:, :, 1])
+    wr = set_j(wr, -1, wr[:, :, -2])
+    wr = set_i(wr, 0, wr[:, 1, :])
+    wr = set_i(wr, -1, wr[:, -2, :])
 
-    return (wr * grid.fsm).at[kbm1:].set(wr[kbm1:])
+    return put(wr * grid.fsm, wr, *s_[kbm1:])

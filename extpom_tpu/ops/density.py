@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
+from extpom_tpu.ops.stencil import set_k
 
 
 def dens(grid: Grid, cfg: Config, s: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -42,4 +43,4 @@ def dens(grid: Grid, cfg: Config, s: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray
 
     rho = rhor / cfg.rhoref * grid.fsm
     # bottom ghost layer carries no density (solver.f loop covers k=1..kbm1)
-    return rho.at[-1].set(0.0)
+    return set_k(rho, -1, 0.0)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
-from extpom_tpu.ops.stencil import sft, sfk, put
+from extpom_tpu.ops.stencil import sft, sfk, put, set_i, set_j, set_k, s_
 
 
 def advct(grid: Grid, cfg: Config,
@@ -37,67 +37,48 @@ def advct(grid: Grid, cfg: Config,
     dtaam = 0.25 * dt4 * aam4
 
     # metric curvature (solver.f:218-229)
-    curv = z3.at[KM1, 1:-1, 1:-1].set(
-        (0.25 * ((sft(v, 0, 1) + v) * (sft(dy, 1, 0) - sft(dy, -1, 0))
+    curv = put(z3, (0.25 * ((sft(v, 0, 1) + v) * (sft(dy, 1, 0) - sft(dy, -1, 0))
                  - (sft(u, 1, 0) + u) * (sft(dx, 0, 1) - sft(dx, 0, -1)))
-         / (dx * dy))[KM1, 1:-1, 1:-1])
+         / (dx * dy)), *s_[KM1, 1:-1, 1:-1])
 
     # ---- x-component (solver.f:231-313) ----
-    xflux = z3.at[KM1, 1:-1, :].set(
-        (0.125 * ((sft(dt, 1, 0) + dt) * sft(u, 1, 0)
+    xflux = put(z3, (0.125 * ((sft(dt, 1, 0) + dt) * sft(u, 1, 0)
                   + (dt + sft(dt, -1, 0)) * u)
-         * (sft(u, 1, 0) + u))[KM1, 1:-1, :])
-    yflux = z3.at[KM1, 1:, 1:].set(
-        (0.125 * ((dt + sft(dt, 0, -1)) * v
+         * (sft(u, 1, 0) + u)), *s_[KM1, 1:-1, :])
+    yflux = put(z3, (0.125 * ((dt + sft(dt, 0, -1)) * v
                   + (sft(dt, -1, 0) + sft(dt, -1, -1)) * sft(v, -1, 0))
-         * (u + sft(u, 0, -1)))[KM1, 1:, 1:])
+         * (u + sft(u, 0, -1))), *s_[KM1, 1:, 1:])
     # diffusive fluxes + metric scaling (solver.f:254-277)
-    xflux = xflux.at[KM1, 1:-1, 1:].set(
-        (dy * (xflux - dt * aam * 2.0 * (sft(ub, 1, 0) - ub) / dx))
-        [KM1, 1:-1, 1:])
-    yflux = yflux.at[KM1, 1:-1, 1:].set(
-        (0.25 * dx4 * (yflux
+    xflux = put(xflux, (dy * (xflux - dt * aam * 2.0 * (sft(ub, 1, 0) - ub) / dx)), *s_[KM1, 1:-1, 1:])
+    yflux = put(yflux, (0.25 * dx4 * (yflux
                        - dtaam * ((ub - sft(ub, 0, -1)) / dy4
-                                  + (vb - sft(vb, -1, 0)) / dx4)))
-        [KM1, 1:-1, 1:])
+                                  + (vb - sft(vb, -1, 0)) / dx4))), *s_[KM1, 1:-1, 1:])
 
-    advx = z3.at[KM1, 1:-1, 1:-1].set(
-        (xflux - sft(xflux, -1, 0) + sft(yflux, 0, 1) - yflux)
-        [KM1, 1:-1, 1:-1])
+    advx = put(z3, (xflux - sft(xflux, -1, 0) + sft(yflux, 0, 1) - yflux), *s_[KM1, 1:-1, 1:-1])
     # curvature term; global west edge excludes i=2 (solver.f:291-313)
-    advx = advx.at[KM1, 2:-1, 1:-1].set(
-        (advx - grid.aru * 0.25
+    advx = put(advx, (advx - grid.aru * 0.25
          * (curv * dt * (sft(v, 0, 1) + v)
             + sft(curv, -1, 0) * sft(dt, -1, 0)
-            * (sft(v, -1, 1) + sft(v, -1, 0))))[KM1, 2:-1, 1:-1])
+            * (sft(v, -1, 1) + sft(v, -1, 0)))), *s_[KM1, 2:-1, 1:-1])
 
     # ---- y-component (solver.f:317-403) ----
-    xflux = z3.at[KM1, 1:, 1:].set(
-        (0.125 * ((dt + sft(dt, -1, 0)) * u
+    xflux = put(z3, (0.125 * ((dt + sft(dt, -1, 0)) * u
                   + (sft(dt, 0, -1) + sft(dt, -1, -1)) * sft(u, 0, -1))
-         * (v + sft(v, -1, 0)))[KM1, 1:, 1:])
-    yflux = z3.at[KM1, :, 1:-1].set(
-        (0.125 * ((sft(dt, 0, 1) + dt) * sft(v, 0, 1)
+         * (v + sft(v, -1, 0))), *s_[KM1, 1:, 1:])
+    yflux = put(z3, (0.125 * ((sft(dt, 0, 1) + dt) * sft(v, 0, 1)
                   + (dt + sft(dt, 0, -1)) * v)
-         * (sft(v, 0, 1) + v))[KM1, :, 1:-1])
-    xflux = xflux.at[KM1, 1:, 1:-1].set(
-        (0.25 * dy4 * (xflux
+         * (sft(v, 0, 1) + v)), *s_[KM1, :, 1:-1])
+    xflux = put(xflux, (0.25 * dy4 * (xflux
                        - dtaam * ((ub - sft(ub, 0, -1)) / dy4
-                                  + (vb - sft(vb, -1, 0)) / dx4)))
-        [KM1, 1:, 1:-1])
-    yflux = yflux.at[KM1, 1:, 1:-1].set(
-        (dx * (yflux - dt * aam * 2.0 * (sft(vb, 0, 1) - vb) / dy))
-        [KM1, 1:, 1:-1])
+                                  + (vb - sft(vb, -1, 0)) / dx4))), *s_[KM1, 1:, 1:-1])
+    yflux = put(yflux, (dx * (yflux - dt * aam * 2.0 * (sft(vb, 0, 1) - vb) / dy)), *s_[KM1, 1:, 1:-1])
 
-    advy = z3.at[KM1, 1:-1, 1:-1].set(
-        (sft(xflux, 1, 0) - xflux + yflux - sft(yflux, 0, -1))
-        [KM1, 1:-1, 1:-1])
+    advy = put(z3, (sft(xflux, 1, 0) - xflux + yflux - sft(yflux, 0, -1)), *s_[KM1, 1:-1, 1:-1])
     # curvature term; global south edge excludes j=2 (solver.f:381-403)
-    advy = advy.at[KM1, 1:-1, 2:-1].set(
-        (advy + grid.arv * 0.25
+    advy = put(advy, (advy + grid.arv * 0.25
          * (curv * dt * (sft(u, 1, 0) + u)
             + sft(curv, 0, -1) * sft(dt, 0, -1)
-            * (sft(u, 1, -1) + sft(u, 0, -1))))[KM1, 1:-1, 2:-1])
+            * (sft(u, 1, -1) + sft(u, 0, -1)))), *s_[KM1, 1:-1, 2:-1])
 
     return advx, advy
 
@@ -116,11 +97,9 @@ def advu(grid: Grid, cfg: Config,
     # vertical advection (solver.f:741-751); kept in a separate array so the
     # combine step below reads the k+1 value pre-overwrite, like the
     # ascending-k Fortran loop
-    vadv = z3.at[1:kbm1, :, 1:].set(
-        (0.25 * (w + sft(w, -1, 0)) * (u + sfk(u, -1)))[1:kbm1, :, 1:])
+    vadv = put(z3, (0.25 * (w + sft(w, -1, 0)) * (u + sfk(u, -1))), *s_[1:kbm1, :, 1:])
 
-    uf = z3.at[KM1, 1:-1, 1:-1].set(
-        (advx
+    uf = put(z3, (advx
          + (vadv - sfk(vadv, 1)) * aru / grid.dz3
          - aru * 0.25 * (cor * dt * (sft(v, 0, 1) + v)
                          + sft(cor, -1, 0) * sft(dt, -1, 0)
@@ -129,19 +108,17 @@ def advu(grid: Grid, cfg: Config,
          * (egf - sft(egf, -1, 0) + egb - sft(egb, -1, 0)
             + (e_atmos - sft(e_atmos, -1, 0)) * 2.0)
          * (dy + sft(dy, -1, 0))
-         + drhox)[KM1, 1:-1, 1:-1])
+         + drhox), *s_[KM1, 1:-1, 1:-1])
     # outside the combine region, the reference's uf holds the raw vertical
     # advection values until profu/bcond overwrite or mask them; keep them
-    uf = uf.at[1:kbm1, :, 0:1].set(vadv[1:kbm1, :, 0:1])
-    uf = uf.at[1:kbm1, :, -1:].set(vadv[1:kbm1, :, -1:])
-    uf = uf.at[1:kbm1, -1:, 1:-1].set(vadv[1:kbm1, -1:, 1:-1])
+    uf = put(uf, vadv, *s_[1:kbm1, :, 0:1])
+    uf = put(uf, vadv, *s_[1:kbm1, :, -1:])
+    uf = put(uf, vadv, *s_[1:kbm1, -1:, 1:-1])
 
     # leapfrog step (solver.f:775-785)
-    uf = uf.at[KM1, 1:-1, 1:-1].set(
-        (((h + etb + sft(h, -1, 0) + sft(etb, -1, 0)) * aru * ub
+    uf = put(uf, (((h + etb + sft(h, -1, 0) + sft(etb, -1, 0)) * aru * ub
           - 2.0 * cfg.dti2 * uf)
-         / ((h + etf + sft(h, -1, 0) + sft(etf, -1, 0)) * aru))
-        [KM1, 1:-1, 1:-1])
+         / ((h + etf + sft(h, -1, 0) + sft(etf, -1, 0)) * aru)), *s_[KM1, 1:-1, 1:-1])
     return uf
 
 
@@ -156,11 +133,9 @@ def advv(grid: Grid, cfg: Config,
     KM1 = slice(0, kbm1)
     z3 = jnp.zeros_like(v)
 
-    vadv = z3.at[1:kbm1, 1:, :].set(
-        (0.25 * (w + sft(w, 0, -1)) * (v + sfk(v, -1)))[1:kbm1, 1:, :])
+    vadv = put(z3, (0.25 * (w + sft(w, 0, -1)) * (v + sfk(v, -1))), *s_[1:kbm1, 1:, :])
 
-    vf = z3.at[KM1, 1:-1, 1:-1].set(
-        (advy
+    vf = put(z3, (advy
          + (vadv - sfk(vadv, 1)) * arv / grid.dz3
          + arv * 0.25 * (cor * dt * (sft(u, 1, 0) + u)
                          + sft(cor, 0, -1) * sft(dt, 0, -1)
@@ -169,14 +144,12 @@ def advv(grid: Grid, cfg: Config,
          * (egf - sft(egf, 0, -1) + egb - sft(egb, 0, -1)
             + (e_atmos - sft(e_atmos, 0, -1)) * 2.0)
          * (dx + sft(dx, 0, -1))
-         + drhoy)[KM1, 1:-1, 1:-1])
-    vf = vf.at[1:kbm1, 0:1, :].set(vadv[1:kbm1, 0:1, :])
-    vf = vf.at[1:kbm1, -1:, :].set(vadv[1:kbm1, -1:, :])
-    vf = vf.at[1:kbm1, 1:-1, -1:].set(vadv[1:kbm1, 1:-1, -1:])
+         + drhoy), *s_[KM1, 1:-1, 1:-1])
+    vf = put(vf, vadv, *s_[1:kbm1, 0:1, :])
+    vf = put(vf, vadv, *s_[1:kbm1, -1:, :])
+    vf = put(vf, vadv, *s_[1:kbm1, 1:-1, -1:])
 
-    vf = vf.at[KM1, 1:-1, 1:-1].set(
-        (((h + etb + sft(h, 0, -1) + sft(etb, 0, -1)) * arv * vb
+    vf = put(vf, (((h + etb + sft(h, 0, -1) + sft(etb, 0, -1)) * arv * vb
           - 2.0 * cfg.dti2 * vf)
-         / ((h + etf + sft(h, 0, -1) + sft(etf, 0, -1)) * arv))
-        [KM1, 1:-1, 1:-1])
+         / ((h + etf + sft(h, 0, -1) + sft(etf, 0, -1)) * arv)), *s_[KM1, 1:-1, 1:-1])
     return vf

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
-from extpom_tpu.ops.stencil import sft, sfk
+from extpom_tpu.ops.stencil import sft, sfk, put, set_i, set_j, set_k, s_
 
 
 def _cumk(inc: jnp.ndarray) -> jnp.ndarray:
@@ -57,19 +57,19 @@ def baropg(grid: Grid, cfg: Config,
                 * (drr + sfk(drr, -1))
                 + cfg.grav * 0.25 * (sfk(zz, -1) + zz) * dtd
                 * (srr - sfk(srr, -1)))
-        inc = inck.at[0].set(inc0)
+        inc = set_k(inck, 0, inc0)
         dr = _cumk(inc)
         # scale (solver.f:880-888)
         dr = 0.25 * dts * dr * mask * (dperp + shift(dperp))
-        out = z3.at[KM1, 1:-1, 1:-1].set(dr[KM1, 1:-1, 1:-1])
+        out = put(z3, dr, *s_[KM1, 1:-1, 1:-1])
         return out
 
     drhox = component(lambda a: sft(a, -1, 0), grid.dum, dy)
     drhoy = component(lambda a: sft(a, 0, -1), grid.dvm, dx)
 
     # inertial ramp over all k (solver.f:928-935)
-    drhox = drhox.at[:, 1:-1, 1:-1].multiply(ramp)
-    drhoy = drhoy.at[:, 1:-1, 1:-1].multiply(ramp)
+    drhox = put(drhox, drhox * ramp, *s_[:, 1:-1, 1:-1])
+    drhoy = put(drhoy, drhoy * ramp, *s_[:, 1:-1, 1:-1])
     return drhox, drhoy
 
 
@@ -114,25 +114,25 @@ def baropg_mcc(grid: Grid, cfg: Config,
             mp * (d - shift_p(d)) + mm * (shift(d) - shift(shift(d))))
 
         ks, isl, jsl = corr_region
-        drho = drho.at[ks, isl, jsl].set(drho_c[ks, isl, jsl])
-        rhou = rhou.at[ks, isl, jsl].set(rhou_c[ks, isl, jsl])
-        ddx = ddx.at[isl, jsl].set(ddx_c[isl, jsl])
-        d4 = d4.at[isl, jsl].set(d4_c[isl, jsl])
+        drho = put(drho, drho_c, *s_[ks, isl, jsl])
+        rhou = put(rhou, rhou_c, *s_[ks, isl, jsl])
+        ddx = put(ddx, ddx_c, *s_[isl, jsl])
+        d4 = put(d4, d4_c, *s_[isl, jsl])
 
         # vertical integral (solver.f:1023-1040)
         inc0 = cfg.grav * (-zz[0]) * d4 * drho[0]
         inck = (cfg.grav * 0.5 * sfk(dzz, -1) * d4 * (sfk(drho, -1) + drho)
                 + cfg.grav * 0.5 * (sfk(zz, -1) + zz) * ddx
                 * (rhou - sfk(rhou, -1)))
-        dr = _cumk(inck.at[0].set(inc0))
+        dr = _cumk(set_k(inck, 0, inc0))
         dr = 0.25 * (dt + shift(dt)) * dr * mask * (dperp + shift(dperp))
-        return z3.at[KM1, 1:-1, 1:-1].set(dr[KM1, 1:-1, 1:-1])
+        return put(z3, dr, *s_[KM1, 1:-1, 1:-1])
 
     drhox = component(lambda a: sft(a, -1, 0), lambda a: sft(a, 1, 0),
                       grid.dum, dy, (KM1, slice(2, -1), slice(None)))
     drhoy = component(lambda a: sft(a, 0, -1), lambda a: sft(a, 0, 1),
                       grid.dvm, dx, (KM1, slice(None), slice(2, -1)))
 
-    drhox = drhox.at[:, 1:-1, 1:-1].multiply(ramp)
-    drhoy = drhoy.at[:, 1:-1, 1:-1].multiply(ramp)
+    drhox = put(drhox, drhox * ramp, *s_[:, 1:-1, 1:-1])
+    drhoy = put(drhoy, drhoy * ramp, *s_[:, 1:-1, 1:-1])
     return drhox, drhoy

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
-from extpom_tpu.ops.stencil import sft, sfk
+from extpom_tpu.ops.stencil import sft, sfk, put, set_i, set_j, set_k, s_
 
 
 def advq(grid: Grid, cfg: Config,
@@ -42,37 +42,29 @@ def advq(grid: Grid, cfg: Config,
     z3 = jnp.zeros_like(q)
 
     # horizontal advection at layer interfaces (solver.f:425-434)
-    xflux = z3.at[K2, 1:, 1:].set(
-        (0.125 * (q + sft(q, -1, 0)) * (dt + sft(dt, -1, 0))
-         * (u + sfk(u, -1)))[K2, 1:, 1:])
-    yflux = z3.at[K2, 1:, 1:].set(
-        (0.125 * (q + sft(q, 0, -1)) * (dt + sft(dt, 0, -1))
-         * (v + sfk(v, -1)))[K2, 1:, 1:])
+    xflux = put(z3, (0.125 * (q + sft(q, -1, 0)) * (dt + sft(dt, -1, 0))
+         * (u + sfk(u, -1))), *s_[K2, 1:, 1:])
+    yflux = put(z3, (0.125 * (q + sft(q, 0, -1)) * (dt + sft(dt, 0, -1))
+         * (v + sfk(v, -1))), *s_[K2, 1:, 1:])
     # horizontal diffusion (solver.f:437-456)
-    xflux = xflux.at[K2, 1:, 1:].set(
-        (0.5 * (dy + sft(dy, -1, 0))
+    xflux = put(xflux, (0.5 * (dy + sft(dy, -1, 0))
          * (xflux
             - 0.25 * (aam + sft(aam, -1, 0) + sfk(aam, -1)
                       + sfk(sft(aam, -1, 0), -1))
             * (h + sft(h, -1, 0)) * (qb - sft(qb, -1, 0)) * grid.dum
-            / (dx + sft(dx, -1, 0))))[K2, 1:, 1:])
-    yflux = yflux.at[K2, 1:, 1:].set(
-        (0.5 * (dx + sft(dx, 0, -1))
+            / (dx + sft(dx, -1, 0)))), *s_[K2, 1:, 1:])
+    yflux = put(yflux, (0.5 * (dx + sft(dx, 0, -1))
          * (yflux
             - 0.25 * (aam + sft(aam, 0, -1) + sfk(aam, -1)
                       + sfk(sft(aam, 0, -1), -1))
             * (h + sft(h, 0, -1)) * (qb - sft(qb, 0, -1)) * grid.dvm
-            / (dy + sft(dy, 0, -1))))[K2, 1:, 1:])
+            / (dy + sft(dy, 0, -1)))), *s_[K2, 1:, 1:])
 
     # vertical advection + leapfrog step (solver.f:462-474)
-    qf = z3.at[K2, 1:-1, 1:-1].set(
-        (((sfk(w, -1) * sfk(q, -1) - sfk(w, 1) * sfk(q, 1)) * art
+    qf = put(z3, (((sfk(w, -1) * sfk(q, -1) - sfk(w, 1) * sfk(q, 1)) * art
           / (grid.dz3 + sfk(grid.dz3, -1))
-          + sft(xflux, 1, 0) - xflux + sft(yflux, 0, 1) - yflux))
-        [K2, 1:-1, 1:-1])
-    qf = qf.at[K2, 1:-1, 1:-1].set(
-        (((h + etb) * art * qb - cfg.dti2 * qf) / ((h + etf) * art))
-        [K2, 1:-1, 1:-1])
+          + sft(xflux, 1, 0) - xflux + sft(yflux, 0, 1) - yflux)), *s_[K2, 1:-1, 1:-1])
+    qf = put(qf, (((h + etb) * art * qb - cfg.dti2 * qf) / ((h + etf) * art)), *s_[K2, 1:-1, 1:-1])
     return qf
 
 
@@ -99,33 +91,23 @@ def advt1(grid: Grid, cfg: Config,
     z3 = jnp.zeros_like(f)
 
     # ghost bottom layer (solver.f:495-496)
-    f = f.at[-1].set(f[-2])
-    fb = fb.at[-1].set(fb[-2])
+    f = set_k(f, -1, f[-2])
+    fb = set_k(fb, -1, fb[-2])
 
-    xflux = z3.at[KM1, 1:, 1:].set(
-        (0.25 * (dt + sft(dt, -1, 0)) * (f + sft(f, -1, 0)) * u)
-        [KM1, 1:, 1:])
-    yflux = z3.at[KM1, 1:, 1:].set(
-        (0.25 * (dt + sft(dt, 0, -1)) * (f + sft(f, 0, -1)) * v)
-        [KM1, 1:, 1:])
+    xflux = put(z3, (0.25 * (dt + sft(dt, -1, 0)) * (f + sft(f, -1, 0)) * u), *s_[KM1, 1:, 1:])
+    yflux = put(z3, (0.25 * (dt + sft(dt, 0, -1)) * (f + sft(f, 0, -1)) * v), *s_[KM1, 1:, 1:])
 
     xdif, ydif = _horizontal_diff_fluxes(grid, cfg, fb - fclim, aam)
-    xflux = xflux.at[KM1, 1:, 1:].set(
-        (0.5 * (dy + sft(dy, -1, 0)) * (xflux + xdif))[KM1, 1:, 1:])
-    yflux = yflux.at[KM1, 1:, 1:].set(
-        (0.5 * (dx + sft(dx, 0, -1)) * (yflux + ydif))[KM1, 1:, 1:])
+    xflux = put(xflux, (0.5 * (dy + sft(dy, -1, 0)) * (xflux + xdif)), *s_[KM1, 1:, 1:])
+    yflux = put(yflux, (0.5 * (dx + sft(dx, 0, -1)) * (yflux + ydif)), *s_[KM1, 1:, 1:])
 
     # vertical advective flux at layer interfaces (solver.f:535-548)
-    zflux = z3.at[0, 1:-1, 1:-1].set((f[0] * w[0] * art)[1:-1, 1:-1])
-    zflux = zflux.at[1:kbm1, 1:-1, 1:-1].set(
-        (0.5 * (sfk(f, -1) + f) * w * art)[1:kbm1, 1:-1, 1:-1])
+    zflux = put(z3, f[0] * w[0] * art, *s_[0, 1:-1, 1:-1])
+    zflux = put(zflux, (0.5 * (sfk(f, -1) + f) * w * art), *s_[1:kbm1, 1:-1, 1:-1])
 
-    ff = z3.at[KM1, 1:-1, 1:-1].set(
-        (sft(xflux, 1, 0) - xflux + sft(yflux, 0, 1) - yflux
-         + (zflux - sfk(zflux, 1)) / grid.dz3)[KM1, 1:-1, 1:-1])
-    ff = ff.at[KM1, 1:-1, 1:-1].set(
-        ((fb * (h + etb) * art - cfg.dti2 * ff) / ((h + etf) * art))
-        [KM1, 1:-1, 1:-1])
+    ff = put(z3, (sft(xflux, 1, 0) - xflux + sft(yflux, 0, 1) - yflux
+         + (zflux - sfk(zflux, 1)) / grid.dz3), *s_[KM1, 1:-1, 1:-1])
+    ff = put(ff, ((fb * (h + etb) * art - cfg.dti2 * ff) / ((h + etf) * art)), *s_[KM1, 1:-1, 1:-1])
     return ff
 
 
@@ -151,7 +133,7 @@ def smol_adif(grid: Grid, cfg: Config,
     xm_new = jnp.where((udx < u2dt)
                        | (ff < value_min) | (sft(ff, -1, 0) < value_min),
                        0.0, (udx - u2dt) * molx * cfg.sw)
-    xmassflux = xmassflux.at[KM1, 1:, 1:-1].set(xm_new[KM1, 1:, 1:-1])
+    xmassflux = put(xmassflux, xm_new, *s_[KM1, 1:, 1:-1])
 
     # y antidiffusion (solver.f:1924-1943), region i=2..imm1, j=2..jm
     vdy = jnp.abs(ymassflux)
@@ -161,7 +143,7 @@ def smol_adif(grid: Grid, cfg: Config,
     ym_new = jnp.where((vdy < v2dt)
                        | (ff < value_min) | (sft(ff, 0, -1) < value_min),
                        0.0, (vdy - v2dt) * moly * cfg.sw)
-    ymassflux = ymassflux.at[KM1, 1:-1, 1:].set(ym_new[KM1, 1:-1, 1:])
+    ymassflux = put(ymassflux, ym_new, *s_[KM1, 1:-1, 1:])
 
     # z antidiffusion (solver.f:1945-1964), region k=2..kbm1, interior
     wdz = jnp.abs(zwflux)
@@ -170,7 +152,7 @@ def smol_adif(grid: Grid, cfg: Config,
     zw_new = jnp.where((wdz < w2dt)
                        | (ff < value_min) | (sfk(ff, -1) < value_min),
                        0.0, (wdz - w2dt) * molz * cfg.sw)
-    zwflux = zwflux.at[1:kbm1, 1:-1, 1:-1].set(zw_new[1:kbm1, 1:-1, 1:-1])
+    zwflux = put(zwflux, zw_new, *s_[1:kbm1, 1:-1, 1:-1])
 
     return xmassflux, ymassflux, zwflux, ff
 
@@ -186,14 +168,10 @@ def advt2(grid: Grid, cfg: Config,
     z3 = jnp.zeros_like(f)
 
     # horizontal mass fluxes (solver.f:602-616)
-    xmassflux = z3.at[KM1, 1:, 1:-1].set(
-        (0.25 * (sft(dy, -1, 0) + dy) * (sft(dt, -1, 0) + dt) * u)
-        [KM1, 1:, 1:-1])
-    ymassflux = z3.at[KM1, 1:-1, 1:].set(
-        (0.25 * (sft(dx, 0, -1) + dx) * (sft(dt, 0, -1) + dt) * v)
-        [KM1, 1:-1, 1:])
+    xmassflux = put(z3, (0.25 * (sft(dy, -1, 0) + dy) * (sft(dt, -1, 0) + dt) * u), *s_[KM1, 1:, 1:-1])
+    ymassflux = put(z3, (0.25 * (sft(dx, 0, -1) + dx) * (sft(dt, 0, -1) + dt) * v), *s_[KM1, 1:-1, 1:])
 
-    fb = fb.at[-1].set(fb[-2])   # solver.f:618
+    fb = set_k(fb, -1, fb[-2])   # solver.f:618
     eta = etb                    # solver.f:619
     zwflux = w
     fbmem = fb
@@ -203,30 +181,23 @@ def advt2(grid: Grid, cfg: Config,
 
     for itera in range(cfg.nitera):   # solver.f:625-688
         # upwind fluxes
-        xflux = z3.at[KM1, 1:, 1:].set(
-            (0.5 * ((xmassflux + jnp.abs(xmassflux)) * sft(fbmem, -1, 0)
-                    + (xmassflux - jnp.abs(xmassflux)) * fbmem))
-            [KM1, 1:, 1:])
-        yflux = z3.at[KM1, 1:, 1:].set(
-            (0.5 * ((ymassflux + jnp.abs(ymassflux)) * sft(fbmem, 0, -1)
-                    + (ymassflux - jnp.abs(ymassflux)) * fbmem))
-            [KM1, 1:, 1:])
+        xflux = put(z3, (0.5 * ((xmassflux + jnp.abs(xmassflux)) * sft(fbmem, -1, 0)
+                    + (xmassflux - jnp.abs(xmassflux)) * fbmem)), *s_[KM1, 1:, 1:])
+        yflux = put(z3, (0.5 * ((ymassflux + jnp.abs(ymassflux)) * sft(fbmem, 0, -1)
+                    + (ymassflux - jnp.abs(ymassflux)) * fbmem)), *s_[KM1, 1:, 1:])
 
         zflux = z3
         if itera == 0:
-            zflux = zflux.at[0, 1:-1, 1:-1].set(
-                (w[0] * f[0] * art)[1:-1, 1:-1])
-        zflux = zflux.at[1:kbm1, 1:-1, 1:-1].set(
-            (0.5 * ((zwflux + jnp.abs(zwflux)) * fbmem
-                    + (zwflux - jnp.abs(zwflux)) * sfk(fbmem, -1)) * art)
-            [1:kbm1, 1:-1, 1:-1])
+            zflux = put(zflux, w[0] * f[0] * art, *s_[0, 1:-1, 1:-1])
+        zflux = put(zflux, (0.5 * ((zwflux + jnp.abs(zwflux)) * fbmem
+                    + (zwflux - jnp.abs(zwflux)) * sfk(fbmem, -1)) * art), *s_[1:kbm1, 1:-1, 1:-1])
 
         # net fluxes + upstream step (solver.f:667-677)
         ff_new = (sft(xflux, 1, 0) - xflux + sft(yflux, 0, 1) - yflux
                   + (zflux - sfk(zflux, 1)) / grid.dz3)
         ff_new = ((fbmem * (h + eta) * art - cfg.dti2 * ff_new)
                   / ((h + etf) * art))
-        ff = ff.at[KM1, 1:-1, 1:-1].set(ff_new[KM1, 1:-1, 1:-1])
+        ff = put(ff, ff_new, *s_[KM1, 1:-1, 1:-1])
 
         # antidiffusive velocities (solver.f:682)
         xmassflux, ymassflux, zwflux, ff = smol_adif(
@@ -239,19 +210,14 @@ def advt2(grid: Grid, cfg: Config,
     aamx = 0.5 * (aam + sft(aam, -1, 0))
     aamy = 0.5 * (aam + sft(aam, 0, -1))
     fbmc = fb - fclim
-    xflux = z3.at[KM1, 1:, 1:].set(
-        (-aamx * (h + sft(h, -1, 0)) * cfg.tprni
+    xflux = put(z3, (-aamx * (h + sft(h, -1, 0)) * cfg.tprni
          * (fbmc - sft(fbmc, -1, 0)) * grid.dum
-         * (dy + sft(dy, -1, 0)) * 0.5 / (dx + sft(dx, -1, 0)))
-        [KM1, 1:, 1:])
-    yflux = z3.at[KM1, 1:, 1:].set(
-        (-aamy * (h + sft(h, 0, -1)) * cfg.tprni
+         * (dy + sft(dy, -1, 0)) * 0.5 / (dx + sft(dx, -1, 0))), *s_[KM1, 1:, 1:])
+    yflux = put(z3, (-aamy * (h + sft(h, 0, -1)) * cfg.tprni
          * (fbmc - sft(fbmc, 0, -1)) * grid.dvm
-         * (dx + sft(dx, 0, -1)) * 0.5 / (dy + sft(dy, 0, -1)))
-        [KM1, 1:, 1:])
+         * (dx + sft(dx, 0, -1)) * 0.5 / (dy + sft(dy, 0, -1))), *s_[KM1, 1:, 1:])
 
-    ff = ff.at[KM1, 1:-1, 1:-1].set(
-        (ff - cfg.dti2 * (sft(xflux, 1, 0) - xflux
+    ff = put(ff, (ff - cfg.dti2 * (sft(xflux, 1, 0) - xflux
                           + sft(yflux, 0, 1) - yflux)
-         / ((h + etf) * art))[KM1, 1:-1, 1:-1])
+         / ((h + etf) * art)), *s_[KM1, 1:-1, 1:-1])
     return ff

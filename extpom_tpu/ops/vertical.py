@@ -23,7 +23,7 @@ from jax import lax
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
-from extpom_tpu.ops.stencil import sft, sfk
+from extpom_tpu.ops.stencil import sft, sfk, put, set_i, set_j, set_k, s_
 
 # Paulson & Simpson (1977) irradiance parameters by Jerlov type
 # (solver.f:1558-1563); index ntp-1.
@@ -89,19 +89,16 @@ def proft(grid: Grid, cfg: Config,
     # coefficient arrays (solver.f:1589-1598): a[k] couples k to k+1,
     # c[k] couples k to k-1
     kdif = kh + cfg.umol
-    a = z3.at[:kbm2].set(
-        (-cfg.dti2 * sfk(kdif, 1) / (dz * dzz * dh * dh))[:kbm2])
-    c = z3.at[1:kbm1].set(
-        (-cfg.dti2 * kdif / (dz * sfk(dzz, -1) * dh * dh))[1:kbm1])
+    a = put(z3, (-cfg.dti2 * sfk(kdif, 1) / (dz * dzz * dh * dh)), *s_[:kbm2])
+    c = put(z3, (-cfg.dti2 * kdif / (dz * sfk(dzz, -1) * dh * dh)), *s_[1:kbm1])
 
     # penetrative shortwave (solver.f:1600-1615)
     if nbc in (2, 4):
         r = _R_JERLOV[cfg.ntp - 1]
         ad1 = _AD1_JERLOV[cfg.ntp - 1]
         ad2 = _AD2_JERLOV[cfg.ntp - 1]
-        rad = z3.at[:kbm1].set(
-            (swrad * (r * jnp.exp(grid.z3 * dh / ad1)
-                      + (1.0 - r) * jnp.exp(grid.z3 * dh / ad2)))[:kbm1])
+        rad = put(z3, (swrad * (r * jnp.exp(grid.z3 * dh / ad1)
+                      + (1.0 - r) * jnp.exp(grid.z3 * dh / ad2))), *s_[:kbm1])
     else:
         rad = z3
 
@@ -141,10 +138,10 @@ def _profuv_common(cfg: Config, grid: Grid, cm: jnp.ndarray, dh: jnp.ndarray,
     kbm1, kbm2 = cfg.kbm1, cfg.kbm2
     z3 = jnp.zeros_like(fin)
     kdif = cm + cfg.umol
-    a = z3.at[:kbm2].set((-cfg.dti2 * sfk(kdif, 1)
-                          / (dz * dzz * dh * dh))[:kbm2])
-    c = z3.at[1:kbm1].set((-cfg.dti2 * kdif
-                           / (dz * sfk(dzz, -1) * dh * dh))[1:kbm1])
+    a = put(z3, (-cfg.dti2 * sfk(kdif, 1)
+                          / (dz * dzz * dh * dh)), *s_[:kbm2])
+    c = put(z3, (-cfg.dti2 * kdif
+                           / (dz * sfk(dzz, -1) * dh * dh)), *s_[1:kbm1])
     ee0 = a[0] / (a[0] - 1.0)
     gg0 = (-cfg.dti2 * wsurf / (-dz[0] * dh) - fin[0]) / (a[0] - 1.0)
     den = jnp.ones_like(fin)
@@ -163,11 +160,10 @@ def profu(grid: Grid, cfg: Config,
 
     # u-point depth (solver.f:1699-1705): 1 on the west/south edge rows
     dh = jnp.ones_like(h)
-    dh = dh.at[1:, 1:].set(
-        (0.5 * (h + etf + sft(h, -1, 0) + sft(etf, -1, 0)))[1:, 1:])
+    dh = put(dh, (0.5 * (h + etf + sft(h, -1, 0) + sft(etf, -1, 0))), *s_[1:, 1:])
     # km averaged to u points (solver.f:1712-1718)
     cm = jnp.zeros_like(km)
-    cm = cm.at[:, 1:, 1:].set((0.5 * (km + sft(km, -1, 0)))[:, 1:, 1:])
+    cm = put(cm, (0.5 * (km + sft(km, -1, 0))), *s_[:, 1:, 1:])
 
     a, c, ee, gg = _profuv_common(cfg, grid, cm, dh, wusurf, uf)
 
@@ -183,10 +179,11 @@ def profu(grid: Grid, cfg: Config,
     fout = _backward(ee, gg, uf_bot, kbm1 - 1) * grid.dum
     # bottom row and back substitution are interior-only in the reference
     # (solver.f:1750-1770); edge columns keep the incoming values
-    uf = uf.at[:kbm1, 1:-1, 1:-1].set(fout[:, 1:-1, 1:-1])
+    uf = put(uf, jnp.concatenate([fout, uf[kbm1:]], axis=0),
+             *s_[:kbm1, 1:-1, 1:-1])
 
-    wubot = jnp.zeros_like(h).at[1:-1, 1:-1].set(
-        (-tps * uf[kbm1 - 1])[1:-1, 1:-1])
+    wubot = put(jnp.zeros_like(h), -tps * uf[kbm1 - 1],
+                *s_[1:-1, 1:-1])
     return uf, wubot
 
 
@@ -200,10 +197,9 @@ def profv(grid: Grid, cfg: Config,
     kbm1, kbm2 = cfg.kbm1, cfg.kbm2
 
     dh = jnp.ones_like(h)
-    dh = dh.at[1:, 1:].set(
-        (0.5 * (h + etf + sft(h, 0, -1) + sft(etf, 0, -1)))[1:, 1:])
+    dh = put(dh, (0.5 * (h + etf + sft(h, 0, -1) + sft(etf, 0, -1))), *s_[1:, 1:])
     cm = jnp.zeros_like(km)
-    cm = cm.at[:, 1:, 1:].set((0.5 * (km + sft(km, 0, -1)))[:, 1:, 1:])
+    cm = put(cm, (0.5 * (km + sft(km, 0, -1))), *s_[:, 1:, 1:])
 
     a, c, ee, gg = _profuv_common(cfg, grid, cm, dh, wvsurf, vf)
 
@@ -216,10 +212,11 @@ def profv(grid: Grid, cfg: Config,
                  - (ee[kbm2 - 1] - 1.0) * c[kbm1 - 1])) * grid.dvm
 
     fout = _backward(ee, gg, vf_bot, kbm1 - 1) * grid.dvm
-    vf = vf.at[:kbm1, 1:-1, 1:-1].set(fout[:, 1:-1, 1:-1])
+    vf = put(vf, jnp.concatenate([fout, vf[kbm1:]], axis=0),
+             *s_[:kbm1, 1:-1, 1:-1])
 
-    wvbot = jnp.zeros_like(h).at[1:-1, 1:-1].set(
-        (-tps * vf[kbm1 - 1])[1:-1, 1:-1])
+    wvbot = put(jnp.zeros_like(h), -tps * vf[kbm1 - 1],
+                *s_[1:-1, 1:-1])
     return vf, wvbot
 
 
@@ -256,22 +253,21 @@ def profq(grid: Grid, cfg: Config,
     dh = h + etf
 
     # tridiagonal coefficients (solver.f:1258-1267)
-    a = z3.at[K2].set((-cfg.dti2 * (sfk(kq, 1) + kq + 2.0 * cfg.umol) * 0.5
-                       / (sfk(dzz, -1) * dz * dh * dh))[K2])
-    c = z3.at[K2].set((-cfg.dti2 * (sfk(kq, -1) + kq + 2.0 * cfg.umol) * 0.5
-                       / (sfk(dzz, -1) * sfk(dz, -1) * dh * dh))[K2])
+    a = put(z3, (-cfg.dti2 * (sfk(kq, 1) + kq + 2.0 * cfg.umol) * 0.5
+                       / (sfk(dzz, -1) * dz * dh * dh)), *s_[K2])
+    c = put(z3, (-cfg.dti2 * (sfk(kq, -1) + kq + 2.0 * cfg.umol) * 0.5
+                       / (sfk(dzz, -1) * sfk(dz, -1) * dh * dh)), *s_[K2])
 
     const1 = (16.6 ** (2.0 / 3.0)) * sef
 
     # surface friction velocity^2 and bottom TKE BC (solver.f:1281-1290)
     z2 = jnp.zeros_like(h)
-    utau2 = z2.at[:-1, :-1].set(
-        jnp.sqrt((0.5 * (wusurf + sft(wusurf, 1, 0))) ** 2
-                 + (0.5 * (wvsurf + sft(wvsurf, 0, 1))) ** 2)[:-1, :-1])
-    q2f = q2f.at[kb - 1, :-1, :-1].set(
-        (jnp.sqrt((0.5 * (wubot + sft(wubot, 1, 0))) ** 2
-                  + (0.5 * (wvbot + sft(wvbot, 0, 1))) ** 2)
-         * const1)[:-1, :-1])
+    utau2 = put(z2, jnp.sqrt((0.5 * (wusurf + sft(wusurf, 1, 0))) ** 2
+                 + (0.5 * (wvsurf + sft(wvsurf, 0, 1))) ** 2), *s_[:-1, :-1])
+    q2f = put(q2f,
+              jnp.sqrt((0.5 * (wubot + sft(wubot, 1, 0))) ** 2
+                       + (0.5 * (wvbot + sft(wvbot, 0, 1))) ** 2) * const1,
+              *s_[kb - 1, :-1, :-1])
 
     # wave-breaking surface TKE (Craig & Banner via Mellor & Blumberg 2003,
     # solver.f:1292-1301) and Stacey surface length scale
@@ -287,35 +283,32 @@ def profq(grid: Grid, cfg: Config,
         + 1.34 * (sp - 35.0)
     cc = cc / jnp.sqrt((1.0 - 0.01642 * p / cc)
                        * (1.0 - 0.40 * p / cc ** 2))
-    cc = z3.at[:kbm1].set(cc[:kbm1])
+    cc = put(z3, cc, *s_[:kbm1])
 
     # |.|-rectification (solver.f:1325-1326); persists into the caller
-    q2b = q2b.at[K2].set(jnp.abs(q2b[K2]))
-    q2lb = q2lb.at[K2].set(jnp.abs(q2lb[K2]))
+    q2b = put(q2b, jnp.abs(q2b), *s_[K2])
+    q2lb = put(q2lb, jnp.abs(q2lb), *s_[K2])
 
     # buoyancy gradient incl. compressibility (solver.f:1321-1333)
-    boygr = z3.at[K2].set(
-        (cfg.grav * (sfk(rho, -1) - rho) / (sfk(dzz, -1) * h)
-         + (cfg.grav ** 2) * 2.0 / (sfk(cc, -1) ** 2 + cc ** 2))[K2])
+    boygr = put(z3, (cfg.grav * (sfk(rho, -1) - rho) / (sfk(dzz, -1) * h)
+         + (cfg.grav ** 2) * 2.0 / (sfk(cc, -1) ** 2 + cc ** 2)), *s_[K2])
 
     # length scale and stability parameter (solver.f:1335-1356)
     l_mid = jnp.abs(q2lb / jnp.where(q2b == 0, 1.0, q2b))
     l_mid = jnp.where(z > -0.5, jnp.maximum(l_mid, cfg.kappa * l0), l_mid)
-    l = l.at[K2].set(l_mid[K2])
-    l = l.at[0].set(cfg.kappa * l0)
-    l = l.at[kb - 1].set(0.0)
-    gh = z3.at[K2].set(
-        jnp.minimum((l ** 2) * boygr / jnp.where(q2b == 0, 1.0, q2b),
-                    0.028)[K2])
+    l = put(l, l_mid, *s_[K2])
+    l = set_k(l, 0, cfg.kappa * l0)
+    l = set_k(l, kb - 1, 0.0)
+    gh = put(z3, jnp.minimum((l ** 2) * boygr / jnp.where(q2b == 0, 1.0, q2b),
+                    0.028), *s_[K2])
 
     # shear + buoyancy production (solver.f:1358-1373), interior only
-    prod = z3.at[K2, 1:-1, 1:-1].set(
-        (km * 0.25 * sef
+    prod = put(z3, (km * 0.25 * sef
          * ((u - sfk(u, -1) + sft(u, 1, 0) - sfk(sft(u, 1, 0), -1)) ** 2
             + (v - sfk(v, -1) + sft(v, 0, 1) - sfk(sft(v, 0, 1), -1)) ** 2)
          / (sfk(dzz, -1) * dh) ** 2
          - shiw * km * boygr
-         + kh * boygr)[K2, 1:-1, 1:-1])
+         + kh * boygr), *s_[K2, 1:-1, 1:-1])
 
     # dissipation frequency (solver.f:1379-1392); stf == 1
     stf = jnp.ones_like(q2)
@@ -328,11 +321,11 @@ def profq(grid: Grid, cfg: Config,
     q2f = _backward(ee, gg, q2f[kb - 1], kb - 1)
 
     # ---- q2l solve (solver.f:1415-1455) ----
-    q2lf = q2lf.at[0].set(0.0).at[kb - 1].set(0.0)
+    q2lf = set_k(set_k(q2lf, 0, 0.0), kb - 1, 0.0)
     ee1 = jnp.zeros_like(h)
     gg1 = -cfg.kappa * z[1, 0, 0] * dh * q2[1]
-    q2lf = q2lf.at[kb - 2].set(
-        cfg.kappa * (1.0 + z[kbm1 - 1, 0, 0]) * dh * q2[kbm1 - 1])
+    q2lf = set_k(q2lf, kb - 2,
+                 cfg.kappa * (1.0 + z[kbm1 - 1, 0, 0]) * dh * q2[kbm1 - 1])
     # wall-proximity dissipation enhancement (solver.f:1426-1435)
     dzk = jnp.abs(z - z[0, 0, 0])
     dzkb = jnp.abs(z - z[kb - 1, 0, 0])
@@ -342,17 +335,17 @@ def profq(grid: Grid, cfg: Config,
                      + 1.0 / jnp.where(dzkb == 0, 1.0, dzkb))
                     * l / (dh * cfg.kappa)) ** 2,
         1.0)
-    dtef2 = z3.at[K2].set((dtef * wallfac)[K2])
+    dtef2 = put(z3, (dtef * wallfac), *s_[K2])
     den2 = cfg.dti2 * dtef2 + 1.0
     rhs2 = cfg.dti2 * (-prod * l * e1) - q2lf
     ee_l, gg_l = _forward(a, c, den2, rhs2, ee1, gg1, 2)
     # back substitution down to k=1 (solver.f:1448-1455); k=0 stays 0
     q2l_low = _backward(ee_l, gg_l, q2lf[kb - 1], kb - 1)
-    q2lf = q2lf.at[1:kb - 1].set(q2l_low[1:kb - 1])
+    q2lf = put(q2lf, q2l_low, *s_[1:kb - 1])
 
     # rectify (solver.f:1460-1471)
-    q2f = q2f.at[K2].set(jnp.abs(q2f[K2]))
-    q2lf = q2lf.at[K2].set(jnp.abs(q2lf[K2]))
+    q2f = put(q2f, jnp.abs(q2f), *s_[K2])
+    q2lf = put(q2lf, jnp.abs(q2lf), *s_[K2])
 
     # ---- stability functions and mixing coefficients (solver.f:1474-1506) --
     coef4 = 18.0 * a1 * a1 + 9.0 * a1 * a2
@@ -372,10 +365,10 @@ def profq(grid: Grid, cfg: Config,
     # (solver.f:1510-1529)
     for arr_name in ("km", "kh", "kq"):
         arr = {"km": km, "kh": kh, "kq": kq}[arr_name]
-        arr = arr.at[:, :, -1].set(arr[:, :, -2])
-        arr = arr.at[:, :, 0].set(arr[:, :, 1])
-        arr = arr.at[:, -1, :].set(arr[:, -2, :])
-        arr = arr.at[:, 0, :].set(arr[:, 1, :])
+        arr = set_j(arr, -1, arr[:, :, -2])
+        arr = set_j(arr, 0, arr[:, :, 1])
+        arr = set_i(arr, -1, arr[:, -2, :])
+        arr = set_i(arr, 0, arr[:, 1, :])
         if arr_name == "km":
             km = arr
         elif arr_name == "kh":

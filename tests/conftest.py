@@ -1,10 +1,14 @@
 """Test configuration: force the CPU backend with 8 virtual devices (for
-sharding tests) and enable float64 (for validation-grade numerics), before
-JAX is first imported."""
+sharding tests) and enable float64 (validation-grade numerics).
+
+Note: this environment pre-imports jax at interpreter start with
+JAX_PLATFORMS=axon locked in, so env vars set here are too late for the
+platform choice — use jax.config.update instead.  XLA_FLAGS is still read
+lazily at first backend init, so the virtual device count works from here.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +16,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

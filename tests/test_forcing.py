@@ -1,0 +1,62 @@
+"""Forcing provider: record interpolation, boundary depth-integration, and
+the tidal-channel end-to-end run (BASELINE config 3)."""
+
+import numpy as np
+import pytest
+
+from extpom_tpu.forcing.provider import ArraySource, ForcingProvider, TBC
+
+
+def test_linear_interpolation_and_hold():
+    from extpom_tpu.cases.seamount import seamount_case
+    from extpom_tpu.core.model import Model
+
+    cfg, grid, ics = seamount_case(im=17, jm=17, kb=7, dtype="float64")
+    m = Model(grid, cfg, tb=ics["tb"], sb=ics["sb"], donate=False)
+
+    # wind record series: wusurf ramps 0 -> 1 across records (0.125 d apart)
+    nrec = 4
+    wu = np.arange(nrec)[:, None, None] * np.ones((nrec, 17, 17))
+    src = ArraySource({"wusurf": wu})
+    prov = ForcingProvider(grid, cfg, m.base_forcing, src)
+
+    # dti = 180 s; at iint such that t = 0.0625 d (half a record) expect 0.5
+    iint = int(0.0625 * 86400 / cfg.dti)
+    fc = prov(m, iint)
+    t_days = cfg.dti * iint / 86400.0
+    expected = t_days / 0.125
+    np.testing.assert_allclose(np.asarray(fc.wusurf)[0, 0], expected,
+                               rtol=1e-6)
+    # clamping: far beyond the series -> hold the last record
+    fc = prov(m, int(10.0 * 86400 / cfg.dti))
+    np.testing.assert_allclose(np.asarray(fc.wusurf)[0, 0], nrec - 1)
+
+
+def test_boundary_depth_integration():
+    from extpom_tpu.cases.seamount import seamount_case
+    from extpom_tpu.core.model import Model
+
+    cfg, grid, ics = seamount_case(im=17, jm=17, kb=7, dtype="float64")
+    m = Model(grid, cfg, tb=ics["tb"], sb=ics["sb"], donate=False)
+    # uniform 0.3 m/s western boundary profile -> uabw = 0.3 (sum dz = 1)
+    nrec = 3
+    ubw = 0.3 * np.ones((nrec, cfg.kb, cfg.jm))
+    prov = ForcingProvider(grid, cfg, m.base_forcing,
+                           ArraySource({"ubw": ubw}))
+    fc = prov(m, 1)
+    dzsum = float(np.asarray(grid.dz)[:cfg.kbm1].sum())
+    np.testing.assert_allclose(np.asarray(fc.uabw), 0.3 * dzsum, rtol=1e-6)
+
+
+def test_tidal_channel_runs():
+    from extpom_tpu.cases.channel import channel_model
+
+    m = channel_model(im=49, jm=17, kb=7, dtype="float64", tide_amp=0.2)
+    m.run(n_steps=20)
+    el = np.asarray(m.state.el)
+    assert np.all(np.isfinite(el))
+    # the tide must have entered the channel: nonzero elevation inside
+    assert float(np.abs(el[1:10, 1:-1]).max()) > 0.005
+    # and salinity must remain uniform (no spurious sources)
+    s = np.asarray(m.state.s)[:m.cfg.kbm1, :, 1:-1]
+    np.testing.assert_allclose(s, 15.0, atol=1e-6)
