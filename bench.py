@@ -29,16 +29,16 @@ def main():
     # plugin (see core/model.py fallback) and would double compile time
     m = seamount_model(im=im, jm=jm, kb=kb, donate=False)
 
-    # compile both step variants + warmup
-    m.step_once()
-    m.step_once()
-    m.step_once()
+    # scanned segments amortize per-step dispatch (the production path);
+    # keep one segment size so only two variants compile (first / steady)
+    n = 50
+    m.run_segment(n)              # compiles the first-step variant
+    jax.block_until_ready(m.state.el)
+    m.run_segment(n)              # compiles + warms the steady variant
     jax.block_until_ready(m.state.el)
 
-    n = 30
     t0 = time.perf_counter()
-    for _ in range(n):
-        m.step_once()
+    m.run_segment(n)
     jax.block_until_ready(m.state.el)
     dt = time.perf_counter() - t0
 

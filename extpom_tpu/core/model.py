@@ -186,6 +186,22 @@ class Model:
         self.iint += 1
         return self.state
 
+    def run_segment(self, n_steps: int) -> State:
+        """Fast path: run ``n_steps`` under one jitted ``lax.scan`` segment
+        (constant forcing apart from the inertial ramp).  Use for
+        production throughput / benchmarking; per-step time-varying forcing
+        should call :meth:`run` or chain short segments."""
+        if getattr(self, "_run_fn", None) is None:
+            period = self.period if math.isfinite(self.period) else 1.0
+            self._run_fn = stepper.make_run_fn(
+                self.grid, self.cfg, period, self.time0, donate=False)
+        fc = self.base_forcing
+        self.state = self._run_fn(self.state, fc, self.rmean, self.tclim,
+                                  self.sclim, self.iint, n_steps,
+                                  first=(self.iint == 0))
+        self.iint += n_steps
+        return self.state
+
     def run(self, n_steps: Optional[int] = None,
             log: Optional[Callable[[str], None]] = None,
             check_interval: Optional[int] = None,

@@ -406,6 +406,61 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
                       aam2d=aam2d)
 
 
+def run_steps(grid: Grid, cfg: Config, st: State, fc: Forcing,
+              rmean: jnp.ndarray, tclim: jnp.ndarray, sclim: jnp.ndarray,
+              iint0, n_steps: int, period_days: float,
+              time0_days: float = 0.0, first: bool = False) -> State:
+    """Advance ``n_steps`` internal steps under one ``lax.scan``.
+
+    The production execution path: amortizes per-step dispatch (one device
+    launch for the whole segment — the reference's `do iint=1,iend` loop,
+    pom.f:16-22).  Forcing is held constant across the segment except the
+    inertial ramp, which is recomputed per step (get_time, advance.f:62-75);
+    time-varying forcing runs segment-by-segment from the host.
+    """
+    dt_ = cfg.jnp_dtype
+
+    def one(st, i, is_first):
+        if cfg.lramp:
+            t_days = cfg.dti * i.astype(dt_) / 86400.0 + time0_days
+            ramp = jnp.minimum(t_days / period_days, 1.0).astype(dt_)
+        else:
+            ramp = jnp.asarray(1.0, dt_)
+        return step(grid, cfg, st, fc.replace(ramp=ramp),
+                    rmean, tclim, sclim, first=is_first)
+
+    if first:
+        st = one(st, jnp.asarray(iint0) + 1, True)
+        start = 1
+    else:
+        start = 0
+    if n_steps - start <= 0:
+        return st
+
+    def body(st, i):
+        return one(st, i, False), None
+
+    st, _ = lax.scan(body, st,
+                     jnp.arange(start + 1, n_steps + 1) + iint0)
+    return st
+
+
+def make_run_fn(grid: Grid, cfg: Config, period_days: float,
+                time0_days: float = 0.0, donate: bool = True):
+    """Jitted segment runner: (state, fc, rmean, tclim, sclim, iint0,
+    n_steps static, first static) -> state."""
+    kw = dict(static_argnames=("n_steps", "first"))
+    if donate:
+        kw["donate_argnums"] = (0,)
+
+    @functools.partial(jax.jit, **kw)
+    def _run(st, fc, rmean, tclim, sclim, iint0, n_steps, first=False):
+        return run_steps(grid, cfg, st, fc, rmean, tclim, sclim, iint0,
+                         n_steps, period_days, time0_days, first=first)
+
+    return _run
+
+
 def make_step_fn(grid: Grid, cfg: Config, donate: bool = True):
     """Build jitted step functions (regular and first-step variants)."""
     kw = dict(static_argnames=("first",))

@@ -116,6 +116,9 @@ class ForcingProvider:
         """Bracketing records + linear interpolation
         (bounds_forcing.f:841-865 pattern: field=(1-frac)*b + frac*f)."""
         x = time_days / cadence
+        if hasattr(self.source, "interp"):
+            # native path: fused C++ interpolation + mmap prefetch
+            return self.source.interp(name, x)
         n = int(np.floor(x))
         frac = x - n
         b = self._read(name, n)

@@ -146,6 +146,67 @@ def read_output(path: str) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# grid / initial-condition / climatology datasets
+# (read_grid_pnetcdf io_pnetcdf.F:2084-2264, read_initial_ts :2771-2844,
+#  read_clim_ts :2845-2911)
+# ---------------------------------------------------------------------------
+
+GRID_VARS = ("z", "zz", "dx", "dy", "east_e", "north_e", "rot", "h", "fsm")
+
+
+def write_grid(path: str, grid: Grid) -> None:
+    """Persist the primary grid variables (masks/metrics/cbc are re-derived
+    on read, exactly as read_grid_pnetcdf derives dum/dvm from fsm)."""
+    for name in GRID_VARS:
+        write_array(path, name, getattr(grid, name))
+    _write_attrs(path, {"format": "extpom_tpu.grid.v1"})
+
+
+def read_grid(path: str, cfg: Config) -> Grid:
+    from extpom_tpu.core.grid import make_grid
+    v = {name: read_array(path, name) for name in GRID_VARS}
+    return make_grid(cfg, v["z"], v["zz"], v["dx"], v["dy"], v["h"],
+                     v["fsm"], east_e=v["east_e"], north_e=v["north_e"],
+                     rot=v["rot"])
+
+
+def write_initial_ts(path: str, tb, sb, tclim=None, sclim=None) -> None:
+    write_array(path, "tb", tb)
+    write_array(path, "sb", sb)
+    if tclim is not None:
+        write_array(path, "tclim", tclim)
+    if sclim is not None:
+        write_array(path, "sclim", sclim)
+    _write_attrs(path, {"format": "extpom_tpu.init.v1",
+                        "has_clim": tclim is not None})
+
+
+def read_initial_ts(path: str):
+    attrs = _read_attrs(path)
+    tb = read_array(path, "tb")
+    sb = read_array(path, "sb")
+    if attrs.get("has_clim"):
+        return tb, sb, read_array(path, "tclim"), read_array(path, "sclim")
+    return tb, sb, tb, sb
+
+
+def write_aux(path: str, grid: Grid, cfg: Config, state: State,
+              time_days: float = 0.0, extra: Optional[Dict] = None) -> None:
+    """Full-state debug dump (the write_aux_pnetcdf equivalent,
+    io_pnetcdf.F:413-1658): every State field, all time levels, plus any
+    derived arrays passed in ``extra``."""
+    for f in dataclasses.fields(State):
+        write_array(path, f.name, getattr(state, f.name))
+    for name in OUTPUT_GRID_VARS:
+        write_array(path, name, getattr(grid, name))
+    if extra:
+        for name, arr in extra.items():
+            write_array(path, name, arr)
+    _write_attrs(path, {"time_days": float(time_days),
+                        "format": "extpom_tpu.aux.v1"})
+
+
+# ---------------------------------------------------------------------------
 # forcing record source (the .sfrc/.lbry series readers)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,156 @@
+"""Run driver: ``python -m extpom_tpu.run config.json``.
+
+The ``program pom`` equivalent (pom.f:8-39 + read_input initialize.f:67-244):
+reads a JSON run configuration (the namelist analogue), builds the model —
+from a built-in case generator or from Zarr datasets — and drives the time
+loop with periodic diagnostics prints, output snapshots, restart writes,
+and optional restart resume (nread_rst, initialize.f:39).
+
+Config schema (all keys optional unless noted)::
+
+    {
+      "run_name": "seamount01",
+      "case": "seamount" | "channel",        # built-in generator ...
+      "case_args": {"im": 65, "jm": 49},     # ... and its arguments
+      "grid": "in/grid.zarr",                # or: dataset paths
+      "init": "in/init.zarr",
+      "sfrc": "in/sfrc.zarr",                # surface forcing series
+      "lbry": "in/lbry.zarr",                # lateral boundary series
+      "config": {"mode": 3, "dte": 6.0, "days": 1.0, ...},
+      "out_dir": "out",
+      "nread_rst": 0, "read_rst_path": "out/run.rst.0003",
+      "cont_bry": 0
+    }
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time as _time
+
+import numpy as np
+
+
+def build_model(conf: dict):
+    from extpom_tpu.core.config import Config
+    from extpom_tpu.core.model import Model
+    from extpom_tpu.forcing.provider import ForcingProvider
+    from extpom_tpu.io import zarrstore as zio
+
+    cfg_kw = dict(conf.get("config", {}))
+    case = conf.get("case")
+    if case == "seamount":
+        from extpom_tpu.cases.seamount import seamount_case
+        cfg, grid, ics = seamount_case(**conf.get("case_args", {}), **cfg_kw)
+        src = None
+    elif case == "channel":
+        from extpom_tpu.cases.channel import channel_case
+        cfg, grid, ics, src = channel_case(**conf.get("case_args", {}),
+                                           **cfg_kw)
+    elif "grid" in conf:
+        cfg = Config(**cfg_kw)
+        grid = zio.read_grid(conf["grid"], cfg)
+        tb, sb, tclim, sclim = zio.read_initial_ts(conf["init"])
+        ics = dict(tb=tb, sb=sb, tclim=tclim, sclim=sclim,
+                   elb=None, uab=None, vab=None)
+        src = None
+    else:
+        raise ValueError("config needs 'case' or 'grid'")
+
+    m = Model(grid, cfg, tb=ics["tb"], sb=ics["sb"],
+              tclim=ics.get("tclim"), sclim=ics.get("sclim"),
+              elb=ics.get("elb"), uab=ics.get("uab"), vab=ics.get("vab"))
+
+    # forcing sources
+    sources = []
+    if src is not None:
+        sources.append(src)
+    for key in ("sfrc", "lbry"):
+        if key in conf:
+            sources.append(zio.ZarrSource(conf[key]))
+    if sources:
+        # merge sources into one view
+        class _Multi:
+            def __init__(self, srcs):
+                self.srcs = srcs
+
+            def names(self):
+                out = []
+                for s in self.srcs:
+                    out.extend(s.names())
+                return out
+
+            def read(self, name, n):
+                for s in self.srcs:
+                    if name in s.names():
+                        return s.read(name, n)
+                raise KeyError(name)
+        m.forcing_fn = ForcingProvider(
+            grid, cfg, m.base_forcing, _Multi(sources),
+            cont_bry_offset=int(conf.get("cont_bry", 0)))
+
+    # restart resume (initialize.f:39; read_restart_pnetcdf)
+    if conf.get("nread_rst"):
+        st, iint, time0 = zio.read_restart(conf["read_rst_path"], cfg)
+        m.state, m.iint, m.time0 = st, iint, time0
+    return m
+
+
+def main(argv=None):
+    from extpom_tpu.diag import stats as diag_stats
+    from extpom_tpu.io import zarrstore as zio
+
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__)
+        return 2
+    with open(argv[0]) as f:
+        conf = json.load(f)
+
+    m = build_model(conf)
+    cfg = m.cfg
+    run = conf.get("run_name", "run")
+    out_dir = conf.get("out_dir", "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # config echo (read_input's summary print, initialize.f:201-241)
+    print(f"run: {run}")
+    for k in ("mode", "nadv", "nitera", "sw", "npg", "dte", "isplit",
+              "days", "prtd1", "smoth", "horcon", "ntp", "nbct", "nbcs"):
+        print(f"  {k} = {getattr(cfg, k)}")
+    print(f"  dti = {cfg.dti}  iend = {cfg.iend}  iprint = {cfg.iprint}")
+    from extpom_tpu.diag.stats import cfl_min
+    print(f"  CFL advisory: min dt_ext = {float(cfl_min(m.grid, cfg)):.2f} s"
+          f" (dte = {cfg.dte} s)")
+
+    n_out = 0
+    t0 = _time.time()
+    while m.iint < cfg.iend:
+        m.step_once()
+        if m.iint % cfg.iprint == 0 or m.iint == cfg.iend:
+            s = {k: float(v) for k, v in diag_stats.domain_stats(
+                m.grid, cfg, m.state).items()}
+            vamax, _ = diag_stats.check_velocity(cfg, m.state.va)
+            if not np.isfinite(float(vamax)) or float(vamax) > cfg.vmaxl:
+                print("POM terminated with error: velocity condition "
+                      f"violated, vamax={float(vamax):.3e}")
+                return 1
+            print(f"time = {m.time_days:9.4f}  iint = {m.iint:8d}  "
+                  f"vtot = {s['vtot']:.7e}  eaver = {s['eaver']:.7e}  "
+                  f"taver = {s['taver']:.7e}  saver = {s['saver']:.7e}")
+            n_out += 1
+            zio.write_output(
+                os.path.join(out_dir, f"{run}.{m.iint:06d}"),
+                m.grid, cfg, m.state, m.time_days, s)
+        if m.iint % cfg.irestart == 0:
+            zio.write_restart(
+                os.path.join(out_dir, f"{run}.rst.{m.iint:06d}"),
+                m.state, m.iint, m.time0)
+    print(f"wall clock: {_time.time() - t0:.1f} s for {m.iint} steps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
