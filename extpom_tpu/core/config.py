@@ -96,6 +96,15 @@ class Config:
     dtype: str = "float32"     # compute dtype ("float32" on TPU,
                                # "float64" for CPU validation)
 
+    # -- schedule tuning (performance-only; bit-identical results) --
+    # Unroll factor for the Thomas sweeps over k (lax.scan in ops.vertical):
+    # kb is small and static, so full unroll turns 2*(kb-1) sequential loop
+    # dispatches per solve into straight-line code XLA can fuse.
+    scan_unroll: int = 8
+    # Unroll factor for the isplit external-mode substeps (lax.fori_loop in
+    # core.stepper); must divide isplit when > 1.
+    ext_unroll: int = 1
+
     # ------------------------------------------------------------------
     # derived quantities (read_input, initialize.f:177-191)
     # ------------------------------------------------------------------

@@ -397,7 +397,8 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
     def body(i, c):
         return mode_external_substep(grid, cfg, c, i, fc, aux)
 
-    carry = lax.fori_loop(1, cfg.isplit + 1, body, carry0)
+    carry = lax.fori_loop(1, cfg.isplit + 1, body, carry0,
+                          unroll=min(cfg.ext_unroll, cfg.isplit))
 
     # internal mode (advance.f:32)
     st = mode_internal(grid, cfg, st, fc, carry, aam, advx, advy,

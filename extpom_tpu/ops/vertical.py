@@ -32,7 +32,7 @@ _AD1_JERLOV = (0.35, 0.60, 1.0, 1.5, 1.4)
 _AD2_JERLOV = (23.0, 20.0, 17.0, 14.0, 7.9)
 
 
-def _forward(a, c, den, r, ee0, gg0, k0):
+def _forward(a, c, den, r, ee0, gg0, k0, unroll: int = 1):
     """Forward elimination: for k >= k0,
     gg_ = 1/(a[k] + c[k]*(1-ee[k-1]) - den[k]); ee[k] = a[k]*gg_;
     gg[k] = (r[k] + c[k]*gg[k-1]) * gg_, with ee[k0-1]=ee0, gg[k0-1]=gg0.
@@ -49,7 +49,8 @@ def _forward(a, c, den, r, ee0, gg0, k0):
         return (ee, gg), (ee, gg)
 
     (_, _), (ees, ggs) = lax.scan(
-        body, (ee0, gg0), (a[k0:], c[k0:], den[k0:], r[k0:]))
+        body, (ee0, gg0), (a[k0:], c[k0:], den[k0:], r[k0:]),
+        unroll=min(unroll, a.shape[0] - k0) if unroll > 1 else 1)
     kb = a.shape[0]
     pad = jnp.zeros((k0 - 1,) + ee0.shape, ee0.dtype)
     ee = jnp.concatenate([pad, ee0[None], ees], axis=0)
@@ -58,7 +59,7 @@ def _forward(a, c, den, r, ee0, gg0, k0):
     return ee, gg
 
 
-def _backward(ee, gg, f_last, k_last):
+def _backward(ee, gg, f_last, k_last, unroll: int = 1):
     """Back substitution f[k] = ee[k]*f[k+1] + gg[k] for k = k_last-1 .. 0,
     seeded with f[k_last] = f_last.  Returns stack f[0..k_last]."""
     def body(fnext, xs):
@@ -66,7 +67,8 @@ def _backward(ee, gg, f_last, k_last):
         fk = eek * fnext + ggk
         return fk, fk
 
-    _, fs = lax.scan(body, f_last, (ee[:k_last], gg[:k_last]), reverse=True)
+    _, fs = lax.scan(body, f_last, (ee[:k_last], gg[:k_last]), reverse=True,
+                     unroll=min(unroll, k_last) if unroll > 1 else 1)
     return jnp.concatenate([fs, f_last[None]], axis=0)
 
 
@@ -119,14 +121,14 @@ def proft(grid: Grid, cfg: Config,
     # forward elimination k=1..kbm2-1 (solver.f:1650-1661)
     den = jnp.ones_like(f)
     rhs = -f + cfg.dti2 * (rad - sfk(rad, 1)) / (dh * dz)
-    ee, gg = _forward(a, c, den, rhs, ee0, gg0, 1)
+    ee, gg = _forward(a, c, den, rhs, ee0, gg0, 1, cfg.scan_unroll)
 
     # bottom adiabatic BC at k=kbm1 (solver.f:1664-1671)
     f_bot = ((c[kbm2] * gg[kbm2 - 1] - f[kbm2]
               + cfg.dti2 * (rad[kbm2] - rad[kbm1]) / (dh * dz[kbm2]))
              / (c[kbm2] * (1.0 - ee[kbm2 - 1]) - 1.0))
 
-    fout = _backward(ee, gg, f_bot, kbm2)
+    fout = _backward(ee, gg, f_bot, kbm2, cfg.scan_unroll)
     return jnp.concatenate([fout, f[kbm1:]], axis=0)
 
 
@@ -145,7 +147,7 @@ def _profuv_common(cfg: Config, grid: Grid, cm: jnp.ndarray, dh: jnp.ndarray,
     ee0 = a[0] / (a[0] - 1.0)
     gg0 = (-cfg.dti2 * wsurf / (-dz[0] * dh) - fin[0]) / (a[0] - 1.0)
     den = jnp.ones_like(fin)
-    ee, gg = _forward(a, c, den, -fin, ee0, gg0, 1)
+    ee, gg = _forward(a, c, den, -fin, ee0, gg0, 1, cfg.scan_unroll)
     return a, c, ee, gg
 
 
@@ -176,7 +178,7 @@ def profu(grid: Grid, cfg: Config,
               / (tps * cfg.dti2 / (-grid.dz3[kbm1 - 1] * dh) - 1.0
                  - (ee[kbm2 - 1] - 1.0) * c[kbm1 - 1])) * grid.dum
 
-    fout = _backward(ee, gg, uf_bot, kbm1 - 1) * grid.dum
+    fout = _backward(ee, gg, uf_bot, kbm1 - 1, cfg.scan_unroll) * grid.dum
     # bottom row and back substitution are interior-only in the reference
     # (solver.f:1750-1770); edge columns keep the incoming values
     uf = put(uf, jnp.concatenate([fout, uf[kbm1:]], axis=0),
@@ -211,7 +213,7 @@ def profv(grid: Grid, cfg: Config,
               / (tps * cfg.dti2 / (-grid.dz3[kbm1 - 1] * dh) - 1.0
                  - (ee[kbm2 - 1] - 1.0) * c[kbm1 - 1])) * grid.dvm
 
-    fout = _backward(ee, gg, vf_bot, kbm1 - 1) * grid.dvm
+    fout = _backward(ee, gg, vf_bot, kbm1 - 1, cfg.scan_unroll) * grid.dvm
     vf = put(vf, jnp.concatenate([fout, vf[kbm1:]], axis=0),
              *s_[:kbm1, 1:-1, 1:-1])
 
@@ -317,8 +319,8 @@ def profq(grid: Grid, cfg: Config,
     # ---- q2 solve (solver.f:1394-1413) ----
     den = 2.0 * cfg.dti2 * dtef + 1.0
     rhs = -2.0 * cfg.dti2 * prod - q2f
-    ee, gg = _forward(a, c, den, rhs, ee0, gg0, 1)
-    q2f = _backward(ee, gg, q2f[kb - 1], kb - 1)
+    ee, gg = _forward(a, c, den, rhs, ee0, gg0, 1, cfg.scan_unroll)
+    q2f = _backward(ee, gg, q2f[kb - 1], kb - 1, cfg.scan_unroll)
 
     # ---- q2l solve (solver.f:1415-1455) ----
     q2lf = set_k(set_k(q2lf, 0, 0.0), kb - 1, 0.0)
@@ -338,9 +340,9 @@ def profq(grid: Grid, cfg: Config,
     dtef2 = put(z3, (dtef * wallfac), *s_[K2])
     den2 = cfg.dti2 * dtef2 + 1.0
     rhs2 = cfg.dti2 * (-prod * l * e1) - q2lf
-    ee_l, gg_l = _forward(a, c, den2, rhs2, ee1, gg1, 2)
+    ee_l, gg_l = _forward(a, c, den2, rhs2, ee1, gg1, 2, cfg.scan_unroll)
     # back substitution down to k=1 (solver.f:1448-1455); k=0 stays 0
-    q2l_low = _backward(ee_l, gg_l, q2lf[kb - 1], kb - 1)
+    q2l_low = _backward(ee_l, gg_l, q2lf[kb - 1], kb - 1, cfg.scan_unroll)
     q2lf = put(q2lf, q2l_low, *s_[1:kb - 1])
 
     # rectify (solver.f:1460-1471)
