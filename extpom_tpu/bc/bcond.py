@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
 from extpom_tpu.core.state import Forcing
-from extpom_tpu.ops.stencil import sfk, put, set_i, set_j, s_
+from extpom_tpu.ops.stencil import sfk, put, set_i, set_j, s_, row, col
 
 
 def bc_el(grid: Grid, cfg: Config, elf: jnp.ndarray,
@@ -29,9 +29,9 @@ def bc_el(grid: Grid, cfg: Config, elf: jnp.ndarray,
     """idx=1: external elevation, zero-gradient at open edges
     (bounds_forcing.f:18-41)."""
     elf = set_i(elf, 0, elf[1, :])      # west
-    elf = set_i(elf, -1, elf[-2, :])    # east
+    elf = set_i(elf, -1, row(elf, -2))    # east
     elf = set_j(elf, 0, elf[:, 1])      # south
-    elf = set_j(elf, -1, elf[:, -2])    # north
+    elf = set_j(elf, -1, col(elf, -2))    # north
     return elf * grid.fsm
 
 
@@ -52,7 +52,7 @@ def bc_vel2d(grid: Grid, cfg: Config,
     vaf = set_i(vaf, 0, fc.vabw, j=J)
     # east
     uaf = set_i(uaf, -1, ramp * (
-        fc.uabe + cfg.rfe * jnp.sqrt(g / d[-2, :]) * (el[-2, :] - fc.ele)),
+        fc.uabe + cfg.rfe * jnp.sqrt(g / row(d, -2)) * (row(el, -2) - fc.ele)),
         j=J)
     vaf = set_i(vaf, -1, fc.vabe, j=J)
     # south
@@ -63,7 +63,7 @@ def bc_vel2d(grid: Grid, cfg: Config,
     uaf = set_j(uaf, 0, fc.uabs, i=I)
     # north
     vaf = set_j(vaf, -1, ramp * (
-        fc.vabn + cfg.rfn * jnp.sqrt(g / d[:, -2]) * (el[:, -2] - fc.eln)),
+        fc.vabn + cfg.rfn * jnp.sqrt(g / col(d, -2)) * (col(el, -2) - fc.eln)),
         i=I)
     uaf = set_j(uaf, -1, fc.uabn, i=I)
 
@@ -87,8 +87,8 @@ def bc_vel3d(grid: Grid, cfg: Config,
             + 0.25 * jnp.roll(a, -1, axis=-1)
 
     # east (i = im-1)
-    ga = jnp.sqrt(d[-1, :] / hmax)              # (jm,)
-    uf = set_i(uf, -1, ga * smooth(u[:, -2, :]) + (1.0 - ga) * smooth(fc.ube),
+    ga = jnp.sqrt(row(d, -1) / hmax)              # (jm,)
+    uf = set_i(uf, -1, ga * smooth(row(u, -2)) + (1.0 - ga) * smooth(fc.ube),
                j=J, k=K)
     vf = set_i(vf, -1, fc.vbe, j=J, k=K)
     # west (i = 0; u-face at i=1)
@@ -104,8 +104,8 @@ def bc_vel3d(grid: Grid, cfg: Config,
     vf = set_j(vf, 0, vf[:, :, 1], i=I, k=K)
     uf = set_j(uf, 0, fc.ubs, i=I, k=K)
     # north (j = jm-1)
-    ga = jnp.sqrt(d[:, -1] / hmax)
-    vf = set_j(vf, -1, ga * smooth(v[:, :, -2]) + (1.0 - ga) * smooth(fc.vbn),
+    ga = jnp.sqrt(col(d, -1) / hmax)
+    vf = set_j(vf, -1, ga * smooth(col(v, -2)) + (1.0 - ga) * smooth(fc.vbn),
                i=I, k=K)
     uf = set_j(uf, -1, fc.ubn, i=I, k=K)
 
@@ -135,8 +135,8 @@ def bc_ts(grid: Grid, cfg: Config,
         return kmask * wm * (sfk(f_in, -1) - sfk(f_in, 1))
 
     def side(f, fb_ext, f_edge_idx, f_in_idx, u1, w_in, dt_in, out_is_le):
-        f_edge = f[(slice(None),) + f_edge_idx]
-        f_in = f[(slice(None),) + f_in_idx]
+        f_edge = row(f, f_edge_idx[0])
+        f_in = row(f, f_in_idx[0])
         if out_is_le:   # east/north: inflow when u1 <= 0
             inflow = u1 <= 0.0
             f_inf = f_edge - u1 * (fb_ext - f_edge)
@@ -148,9 +148,9 @@ def bc_ts(grid: Grid, cfg: Config,
         return jnp.where(inflow, f_inf, f_out)
 
     # east: full j range (bounds_forcing.f:157-173)
-    u1e = 2.0 * u[:, -1, :] * cfg.dti / (grid.dx[-1, :] + grid.dx[-2, :])
-    tfe = side(t, fc.tbe, (-1,), (-2,), u1e, w[:, -2, :], dt[-2, :], True)
-    sfe = side(s, fc.sbe, (-1,), (-2,), u1e, w[:, -2, :], dt[-2, :], True)
+    u1e = 2.0 * row(u, -1) * cfg.dti / (row(grid.dx, -1) + row(grid.dx, -2))
+    tfe = side(t, fc.tbe, (-1,), (-2,), u1e, row(w, -2), row(dt, -2), True)
+    sfe = side(s, fc.sbe, (-1,), (-2,), u1e, row(w, -2), row(dt, -2), True)
     uf = set_i(uf, -1, tfe, k=K)
     vf = set_i(vf, -1, sfe, k=K)
     # west (bounds_forcing.f:175-191)
@@ -168,11 +168,11 @@ def bc_ts(grid: Grid, cfg: Config,
     uf = set_j(uf, 0, tfs, k=K)
     vf = set_j(vf, 0, sfs, k=K)
     # north (bounds_forcing.f:213-229)
-    u1n = 2.0 * v[:, :, -1] * cfg.dti / (grid.dy[:, -1] + grid.dy[:, -2])
+    u1n = 2.0 * col(v, -1) * cfg.dti / (col(grid.dy, -1) + col(grid.dy, -2))
     tfn = side(t.transpose(0, 2, 1), fc.tbn, (-1,), (-2,), u1n,
-               w[:, :, -2], dt[:, -2], True)
+               col(w, -2), col(dt, -2), True)
     sfn = side(s.transpose(0, 2, 1), fc.sbn, (-1,), (-2,), u1n,
-               w[:, :, -2], dt[:, -2], True)
+               col(w, -2), col(dt, -2), True)
     uf = set_j(uf, -1, tfn, k=K)
     vf = set_j(vf, -1, sfn, k=K)
 
@@ -195,8 +195,8 @@ def bc_turb(grid: Grid, cfg: Config,
     small = cfg.small
 
     def side(f, f_edge_idx, f_in_idx, u1, out_is_le):
-        f_edge = f[(slice(None),) + f_edge_idx]
-        f_in = f[(slice(None),) + f_in_idx]
+        f_edge = row(f, f_edge_idx[0])
+        f_in = row(f, f_in_idx[0])
         if out_is_le:
             inflow = u1 <= 0.0
             f_inf = f_edge - u1 * (small - f_edge)
@@ -212,7 +212,7 @@ def bc_turb(grid: Grid, cfg: Config,
     uf = set_i(uf, 0, side(q2, (0,), (1,), u1w, False))
     vf = set_i(vf, 0, side(q2l, (0,), (1,), u1w, False))
     # east
-    u1e = 2.0 * u[:, -1, :] * cfg.dti / (grid.dx[-1, :] + grid.dx[-2, :])
+    u1e = 2.0 * row(u, -1) * cfg.dti / (row(grid.dx, -1) + row(grid.dx, -2))
     uf = set_i(uf, -1, side(q2, (-1,), (-2,), u1e, True))
     vf = set_i(vf, -1, side(q2l, (-1,), (-2,), u1e, True))
     # south
@@ -220,7 +220,7 @@ def bc_turb(grid: Grid, cfg: Config,
     uf = set_j(uf, 0, side(q2.transpose(0, 2, 1), (0,), (1,), u1s, False))
     vf = set_j(vf, 0, side(q2l.transpose(0, 2, 1), (0,), (1,), u1s, False))
     # north
-    u1n = 2.0 * v[:, :, -1] * cfg.dti / (grid.dy[:, -1] + grid.dy[:, -2])
+    u1n = 2.0 * col(v, -1) * cfg.dti / (col(grid.dy, -1) + col(grid.dy, -2))
     uf = set_j(uf, -1, side(q2.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
     vf = set_j(vf, -1, side(q2l.transpose(0, 2, 1), (-1,), (-2,), u1n, True))
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
-from extpom_tpu.ops.stencil import put, set_i, set_j, s_
+from extpom_tpu.ops.stencil import put, set_i, set_j, s_, row, col
 
 
 def _cl(ff_b, fb_b, f_i):
@@ -33,9 +33,9 @@ def orl_el(grid: Grid, cfg: Config, elf: jnp.ndarray) -> jnp.ndarray:
     stay at the stale scratch value); here they get the same zero-gradient
     so the scheme is usable standalone with four open sides."""
     elf = set_i(elf, 0, elf[1, :])
-    elf = set_i(elf, -1, elf[-2, :])
+    elf = set_i(elf, -1, row(elf, -2))
     elf = set_j(elf, 0, elf[:, 1])
-    elf = set_j(elf, -1, elf[:, -2])
+    elf = set_j(elf, -1, col(elf, -2))
     return elf * grid.fsm
 
 
@@ -49,9 +49,9 @@ def orl_vel2d(grid: Grid, cfg: Config,
     J = slice(1, -1)
     I = slice(1, -1)
     # east (u-face at im-1; phase speed from the face at im-2)
-    cl = _cl(uaf[-2, :], uab[-2, :], ua[-3, :])
+    cl = _cl(row(uaf, -2), row(uab, -2), row(ua, -3))
     uaf = set_i(uaf, -1,
-                (uab[-1, :] * (1.0 - cl) + 2.0 * cl * ua[-2, :]) / (1.0 + cl),
+                (row(uab, -1) * (1.0 - cl) + 2.0 * cl * row(ua, -2)) / (1.0 + cl),
                 j=J)
     vaf = set_i(vaf, -1, 0.0, j=J)
     # west (u-face at 1)
@@ -69,9 +69,9 @@ def orl_vel2d(grid: Grid, cfg: Config,
     vaf = set_j(vaf, 0, vaf[:, 1], i=I)
     uaf = set_j(uaf, 0, 0.0, i=I)
     # north
-    cl = _cl(vaf[:, -2], vab[:, -2], va[:, -3])
+    cl = _cl(col(vaf, -2), col(vab, -2), col(va, -3))
     vaf = set_j(vaf, -1,
-                (vab[:, -1] * (1.0 - cl) + 2.0 * cl * va[:, -2]) / (1.0 + cl),
+                (col(vab, -1) * (1.0 - cl) + 2.0 * cl * col(va, -2)) / (1.0 + cl),
                 i=I)
     uaf = set_j(uaf, -1, 0.0, i=I)
 
@@ -90,9 +90,9 @@ def orl_vel3d(grid: Grid, cfg: Config,
     J = slice(1, -1)
     I = slice(1, -1)
     # east
-    cl = _cl(uf[:, -2, :], ub[:, -2, :], u[:, -3, :])
+    cl = _cl(row(uf, -2), row(ub, -2), row(u, -3))
     uf = set_i(uf, -1,
-               (ub[:, -1, :] * (1.0 - cl) + 2.0 * cl * u[:, -2, :])
+               (row(ub, -1) * (1.0 - cl) + 2.0 * cl * row(u, -2))
                / (1.0 + cl), j=J, k=K)
     vf = set_i(vf, -1, 0.0, j=J, k=K)
     # west
@@ -110,9 +110,9 @@ def orl_vel3d(grid: Grid, cfg: Config,
     vf = set_j(vf, 0, vf[:, :, 1], i=I, k=K)
     uf = set_j(uf, 0, 0.0, i=I, k=K)
     # north
-    cl = _cl(vf[:, :, -2], vb[:, :, -2], v[:, :, -3])
+    cl = _cl(col(vf, -2), col(vb, -2), col(v, -3))
     vf = set_j(vf, -1,
-               (vb[:, :, -1] * (1.0 - cl) + 2.0 * cl * v[:, :, -2])
+               (col(vb, -1) * (1.0 - cl) + 2.0 * cl * col(v, -2))
                / (1.0 + cl), i=I, k=K)
     uf = set_j(uf, -1, 0.0, i=I, k=K)
 
@@ -143,7 +143,7 @@ def orl_ts(grid: Grid, cfg: Config,
         return jnp.where(clamp, fb_ext, new)
 
     # east: boundary normal velocity ube := ub(im) (bounds_forcing.f:497)
-    ube = ub[:, -1, :]
+    ube = row(ub, -1)
     tfe = side_ew(uf, t, tb, -1, -2, -3, ube, fc.tbe, False)
     sfe = side_ew(vf, s, sb, -1, -2, -3, ube, fc.sbe, False)
     uf = set_i(uf, -1, tfe, k=K)
@@ -158,9 +158,9 @@ def orl_ts(grid: Grid, cfg: Config,
     # Deviation: zero-gradient north/south edges (the reference leaves them
     # at stale scratch values; see orl_el).
     uf = set_j(uf, 0, uf[:, :, 1], k=K)
-    uf = set_j(uf, -1, uf[:, :, -2], k=K)
+    uf = set_j(uf, -1, col(uf, -2), k=K)
     vf = set_j(vf, 0, vf[:, :, 1], k=K)
-    vf = set_j(vf, -1, vf[:, :, -2], k=K)
+    vf = set_j(vf, -1, col(vf, -2), k=K)
 
     uf = put(uf, uf * grid.fsm, *s_[K])
     vf = put(vf, vf * grid.fsm, *s_[K])

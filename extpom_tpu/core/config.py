@@ -99,11 +99,19 @@ class Config:
     # -- schedule tuning (performance-only; bit-identical results) --
     # Unroll factor for the Thomas sweeps over k (lax.scan in ops.vertical):
     # kb is small and static, so full unroll turns 2*(kb-1) sequential loop
-    # dispatches per solve into straight-line code XLA can fuse.
-    scan_unroll: int = 8
+    # dispatches per solve into straight-line code XLA can fuse.  Values
+    # above kb clamp to full unroll; PARTIAL unroll (1 < u < kb) trips an
+    # XLA closed_call lowering bug on the TPU backend in this environment —
+    # keep it 1 or >= kb.
+    scan_unroll: int = 1024
     # Unroll factor for the isplit external-mode substeps (lax.fori_loop in
     # core.stepper); must divide isplit when > 1.
     ext_unroll: int = 1
+    # VMEM-resident Pallas kernel for the whole external-mode loop
+    # (pallas/extloop.py): "auto" uses it on TPU when the 2-D working set
+    # fits VMEM; "on" forces it (interpreted off-TPU: for tests); "off"
+    # always uses the XLA fori_loop.
+    pallas_ext: str = "auto"
 
     # ------------------------------------------------------------------
     # derived quantities (read_input, initialize.f:177-191)

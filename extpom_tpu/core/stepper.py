@@ -394,11 +394,18 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
                       wubot=wubot, wvbot=wvbot)
     aux = (adx2d, ady2d, drx2d, dry2d, aam2d)
 
-    def body(i, c):
-        return mode_external_substep(grid, cfg, c, i, fc, aux)
+    from extpom_tpu.pallas import extloop
+    if extloop.use_pallas_ext(cfg):
+        # whole loop VMEM-resident: one HBM read+write of the 2-D state
+        carry = extloop.run_external_loop(
+            grid, cfg, carry0, fc, aux,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        def body(i, c):
+            return mode_external_substep(grid, cfg, c, i, fc, aux)
 
-    carry = lax.fori_loop(1, cfg.isplit + 1, body, carry0,
-                          unroll=min(cfg.ext_unroll, cfg.isplit))
+        carry = lax.fori_loop(1, cfg.isplit + 1, body, carry0,
+                              unroll=min(cfg.ext_unroll, cfg.isplit))
 
     # internal mode (advance.f:32)
     st = mode_internal(grid, cfg, st, fc, carry, aam, advx, advy,

@@ -51,23 +51,23 @@ S_1_M2 = slice(0, -2)    # 1..(n-2)
 
 
 def _shift1(a: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
-    """Zero-padded shift along one axis: out[i] = a[i+d] (0 outside)."""
+    """Zero-padded shift along one axis: out[i] = a[i+d] (0 outside).
+
+    Implemented as slice + concatenate-with-zeros (not jnp.pad) so the same
+    expression lowers both through XLA and through Mosaic inside Pallas
+    kernels (pallas/extloop.py evaluates whole stencil substeps in VMEM)."""
     if d == 0:
         return a
-    n = a.shape[axis]
-    pad = [(0, 0)] * a.ndim
+    ax = axis % a.ndim
+    idx = lambda s: tuple(s if i == ax else slice(None)
+                          for i in range(a.ndim))
+    zshape = list(a.shape)
+    zshape[ax] = abs(d)
+    zeros = jnp.zeros(zshape, a.dtype)
     if d > 0:
-        pad[axis] = (0, d)
-        return jnp.pad(a, pad)[
-            tuple(slice(d, d + n) if ax == axis % a.ndim else slice(None)
-                  for ax in range(a.ndim))
-        ]
+        return jnp.concatenate([a[idx(slice(d, None))], zeros], axis=ax)
     else:
-        pad[axis] = (-d, 0)
-        return jnp.pad(a, pad)[
-            tuple(slice(0, n) if ax == axis % a.ndim else slice(None)
-                  for ax in range(a.ndim))
-        ]
+        return jnp.concatenate([zeros, a[idx(slice(0, d))]], axis=ax)
 
 
 def sft(a: jnp.ndarray, di: int = 0, dj: int = 0) -> jnp.ndarray:
@@ -165,6 +165,20 @@ def _expand(base: jnp.ndarray, val, axis: int, idx: int) -> jnp.ndarray:
     if val.ndim == 0:
         return jnp.broadcast_to(val, base.shape)
     return jnp.broadcast_to(jnp.expand_dims(val, axis), base.shape)
+
+
+def row(a: jnp.ndarray, i: int) -> jnp.ndarray:
+    """``a[..., i, :]`` with a python-int index resolved statically.
+
+    jnp lowers negative-literal indexing through ``dynamic_slice`` (it emits
+    a sign-normalization select), which Mosaic cannot lower inside Pallas
+    kernels; ``i % n`` resolves the index at trace time instead."""
+    return a[..., i % a.shape[-2], :]
+
+
+def col(a: jnp.ndarray, j: int) -> jnp.ndarray:
+    """``a[..., :, j]`` with a static python-int index (see :func:`row`)."""
+    return a[..., :, j % a.shape[-1]]
 
 
 def zeros_like(a: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,158 @@
+"""VMEM-resident external-mode loop (Pallas TPU kernel).
+
+The external (2-D barotropic) mode is the hottest loop in the model: the
+reference runs it ``isplit`` (~30) times per internal step, each substep a
+handful of 5-point stencils over the (im, jm) plane punctuated by halo
+exchanges (advance.f:205-353, SURVEY.md §3.2).  Under plain XLA each substep
+re-reads and re-writes the 2-D state from HBM; with ~35 live fields that is
+~isplit x 35 x im x jm x 4 bytes of HBM traffic per internal step.
+
+This kernel runs the WHOLE loop on-chip: every 2-D field is brought into
+VMEM once, all ``isplit`` substeps execute VMEM-resident straight-line VPU
+code, and only the final carry goes back to HBM — the HBM traffic drops to
+one read + one write of the state regardless of isplit.
+
+The physics is not re-implemented: the kernel body calls the exact same
+:func:`extpom_tpu.core.stepper.mode_external_substep` used by the XLA path
+(all its stencil ops are jnp expressions that Mosaic lowers), so the two
+paths are maintained by a single source of truth and agree to f32 roundoff.
+
+Applicability: the whole 2-D working set must fit in VMEM (~16 MB/core),
+i.e. im*jm <= ~64K cells at f32 (256x256).  :func:`fits_vmem` gates the
+dispatch; the stepper falls back to the XLA ``fori_loop`` otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on all platforms; kernels interpret on CPU
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PLTPU = True
+except ImportError:  # pragma: no cover
+    _HAVE_PLTPU = False
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.grid import Grid
+
+
+# field lists; order defines the kernel's positional ref layout
+CARRY_FIELDS = ("el", "elb", "ua", "uab", "va", "vab", "etf", "egf",
+                "utf", "vtf", "advua", "advva", "wubot", "wvbot")
+GRID_FIELDS = ("h", "dx", "dy", "art", "aru", "arv", "cor",
+               "fsm", "dum", "dvm", "cbc")
+AUX_FIELDS = ("adx2d", "ady2d", "drx2d", "dry2d", "aam2d")
+FC_2D_FIELDS = ("wusurf", "wvsurf", "vflux", "e_atmos")
+# 1-D open-boundary series used by bcond idx 1/2 (bounds_forcing.f:18-83);
+# j-sides have length jm, i-sides length im
+FC_1D_J = ("elw", "ele", "uabw", "uabe", "vabw", "vabe")
+FC_1D_I = ("els", "eln", "vabs", "vabn", "uabs", "uabn")
+
+
+def fits_vmem(cfg: Config, budget_bytes: int = 11 * 2 ** 20) -> bool:
+    """True when the kernel's VMEM-resident 2-D working set fits.
+
+    ~34 input blocks + 14 aliased outputs + transients; f32 only (f64 is
+    the CPU validation dtype and doubles the footprint past VMEM)."""
+    n_blocks = (len(CARRY_FIELDS) + len(GRID_FIELDS) + len(AUX_FIELDS)
+                + len(FC_2D_FIELDS))
+    per = cfg.im * cfg.jm * 4
+    return cfg.dtype == "float32" and n_blocks * per <= budget_bytes
+
+
+def use_pallas_ext(cfg: Config) -> bool:
+    """Static dispatch decision, resolved at trace time."""
+    if cfg.pallas_ext == "off" or not _HAVE_PLTPU:
+        return False
+    if cfg.pallas_ext == "on":
+        return True
+    # auto: single-device TPU only — under a multi-device mesh the stencil
+    # ops must stay XLA so GSPMD can insert halo collective-permutes
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and fits_vmem(cfg))
+
+
+def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):
+    """Kernel body: load 2-D state into VMEM values, run the isplit loop.
+
+    refs = inputs (CARRY | GRID | AUX | FC_2D | FC_1D_J | FC_1D_I | ramp)
+    then the 14 carry outputs.
+    """
+    from extpom_tpu.core import stepper  # local import: cycle-free
+
+    ins, outs = refs[:n_in], refs[n_in:]
+    it = iter(ins)
+
+    carry_vals = [next(it)[:] for _ in CARRY_FIELDS]
+    grid_vals = {f: next(it)[:] for f in GRID_FIELDS}
+    aux_vals = tuple(next(it)[:] for _ in AUX_FIELDS)
+    fc_vals = {f: next(it)[:] for f in FC_2D_FIELDS}
+    for f in FC_1D_J + FC_1D_I:
+        fc_vals[f] = next(it)[0]         # (1, n) block -> (n,)
+    ramp_ref = next(it)
+    fc_vals["ramp"] = ramp_ref[0, 0]
+
+    grid_ns = SimpleNamespace(**grid_vals)
+    fc_ns = SimpleNamespace(**fc_vals)
+    c = stepper.ExtCarry(*carry_vals)
+
+    for iext in range(1, cfg.isplit + 1):
+        c = stepper.mode_external_substep(
+            grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals)
+
+    for ref, val in zip(outs, c):
+        ref[:] = val
+
+
+def run_external_loop(grid: Grid, cfg: Config, c0, fc, aux,
+                      interpret: bool = False):
+    """Run all isplit external substeps in one VMEM-resident kernel.
+
+    ``c0`` is the stepper's ExtCarry; ``aux`` the (adx2d, ady2d, drx2d,
+    dry2d, aam2d) tuple; returns the final ExtCarry.  Bit-compatible with
+    the XLA fori_loop path up to f32 fusion differences.
+    """
+    dt_ = c0.el.dtype
+    im, jm = cfg.im, cfg.jm
+
+    inputs = list(c0)
+    inputs += [getattr(grid, f) for f in GRID_FIELDS]
+    inputs += list(aux)
+    inputs += [getattr(fc, f) for f in FC_2D_FIELDS]
+    inputs += [jnp.asarray(getattr(fc, f), dt_).reshape(1, -1)
+               for f in FC_1D_J + FC_1D_I]
+    inputs.append(jnp.asarray(fc.ramp, dt_).reshape(1, 1))
+    n_in = len(inputs)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = ([vmem] * (len(CARRY_FIELDS) + len(GRID_FIELDS)
+                          + len(AUX_FIELDS) + len(FC_2D_FIELDS)
+                          + len(FC_1D_J) + len(FC_1D_I))
+                + [smem])
+    out_specs = tuple(vmem for _ in CARRY_FIELDS)
+    out_shape = tuple(jax.ShapeDtypeStruct((im, jm), dt_)
+                      for _ in CARRY_FIELDS)
+
+    kernel = functools.partial(_kernel, cfg, interpret, n_in)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        # donate the carry blocks into the outputs: halves VMEM pressure
+        input_output_aliases={i: i for i in range(len(CARRY_FIELDS))},
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
+            if (_HAVE_PLTPU and not interpret) else None),
+    )(*inputs)
+
+    from extpom_tpu.core import stepper
+    return stepper.ExtCarry(*outs)

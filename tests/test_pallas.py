@@ -1,0 +1,47 @@
+"""Pallas kernel oracles: the VMEM-resident external-mode loop must
+reproduce the XLA fori_loop path (same substep source, pallas/extloop.py)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from extpom_tpu.cases.seamount import seamount_model
+from extpom_tpu.core import stepper
+
+
+def _run(pallas_ext: str, n: int = 2):
+    # small isplit: the interpreted kernel unrolls all substeps
+    m = seamount_model(im=32, jm=48, kb=7, donate=False, dtype="float64",
+                       isplit=6, pallas_ext=pallas_ext)
+    fc = m.forcing_at(1)
+
+    @jax.jit
+    def go(st):
+        st = stepper.step(m.grid, m.cfg, st, fc, m.rmean, m.tclim, m.sclim,
+                          first=True)
+        for _ in range(n - 1):
+            st = stepper.step(m.grid, m.cfg, st, fc, m.rmean, m.tclim,
+                              m.sclim, first=False)
+        return st
+
+    return go(m.state)
+
+
+def test_extloop_matches_xla():
+    ref = _run("off")
+    got = _run("on")    # interpreted off-TPU
+    for name in ("el", "elb", "ua", "uab", "va", "vab", "etf",
+                 "utb", "vtb", "egb", "u", "v", "t", "s"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12, err_msg=name)
+
+
+def test_fits_vmem_gate():
+    from extpom_tpu.pallas.extloop import fits_vmem
+    from extpom_tpu.core.config import Config
+    assert fits_vmem(Config(im=256, jm=256, kb=31))
+    assert not fits_vmem(Config(im=512, jm=512, kb=31))
+    assert not fits_vmem(Config(im=256, jm=256, kb=31, dtype="float64"))
