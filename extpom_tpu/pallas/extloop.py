@@ -102,9 +102,21 @@ def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):
     fc_ns = SimpleNamespace(**fc_vals)
     c = stepper.ExtCarry(*carry_vals)
 
-    for iext in range(1, cfg.isplit + 1):
-        c = stepper.mode_external_substep(
-            grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals)
+    # rolled loop: keeps the Mosaic program ~isplit x smaller than a Python
+    # unroll, which dominates compile time at production grid sizes
+    # (ext_unroll > 1 trades compile time back for schedule freedom)
+    unroll = max(1, min(cfg.ext_unroll, cfg.isplit))
+    if unroll >= cfg.isplit:
+        for iext in range(1, cfg.isplit + 1):
+            c = stepper.mode_external_substep(
+                grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals)
+    else:
+        def body(i, c):
+            return stepper.mode_external_substep(
+                grid_ns, cfg, c, i, fc_ns, aux_vals)
+
+        c = jax.lax.fori_loop(1, cfg.isplit + 1, body, c,
+                              unroll=unroll)
 
     for ref, val in zip(outs, c):
         ref[:] = val
