@@ -29,6 +29,12 @@ class Config:
     im: int
     jm: int
     kb: int
+    # Active extents when arrays are PADDED for a non-divisible mesh
+    # decomposition (pad-and-mask, the analogue of the reference's shrunken
+    # ragged edge tiles, parallel_mpi.f:88-105).  None means im/jm are fully
+    # active (no padding).  See extpom_tpu.mesh.padding.
+    im_act: Optional[int] = None
+    jm_act: Optional[int] = None
 
     # -- mode switches (pom.nml_dist:28-51) --
     mode: int = 3          # 2: 2-D only, 3: full 3-D, 4: 3-D with frozen T/S
@@ -88,9 +94,10 @@ class Config:
 
     # -- feature gates not in the reference namelist --
     do_restore: bool = False   # interior T/S restoring (restore_interior)
-    calc_wr: bool = False      # compute physical vertical velocity wr in step
-                               # (the reference computes it every step but only
-                               # uses it for output; we compute on demand)
+    calc_wr: bool = False      # include physical vertical velocity wr in
+                               # output snapshots (realvertvl, advance.f:534;
+                               # computed on demand at output time instead of
+                               # every step — identical output values)
 
     # -- numerics --
     dtype: str = "float32"     # compute dtype ("float32" on TPU,
@@ -141,6 +148,11 @@ class Config:
         return int(round(self.swtch * 86400.0 / self.dti))
 
     @property
+    def iprint2(self) -> int:
+        """Print interval after the iswtch switch (advance.f:65-68)."""
+        return max(int(round(self.prtd2 * 86400.0 / self.dti)), 1)
+
+    @property
     def irestart(self) -> int:
         return max(int(round(self.write_rst * 86400.0 / self.dti)), 1)
 
@@ -182,3 +194,7 @@ class Config:
             raise ValueError(f"invalid bc_scheme {self.bc_scheme}")
         if self.kb < 3 or self.im < 5 or self.jm < 5:
             raise ValueError("domain too small")
+        if self.im_act is not None and not 5 <= self.im_act <= self.im:
+            raise ValueError("im_act out of range")
+        if self.jm_act is not None and not 5 <= self.jm_act <= self.jm:
+            raise ValueError("jm_act out of range")

@@ -43,6 +43,12 @@ class Grid:
     aru: jnp.ndarray   # u-cell area
     arv: jnp.ndarray   # v-cell area
     cbc: jnp.ndarray   # bottom friction coefficient
+    hmax: jnp.ndarray  # max depth, scalar; used by bc_vel3d's depth blend
+                       # (the reference recomputes hmax=maxval(d) per call,
+                       # bounds_forcing.f:90 — and under MPI that is the
+                       # LOCAL tile max, i.e. decomposition-dependent; a
+                       # static global max is consistent and removes a
+                       # full-array reduce from every internal step)
 
     # coordinates (for output/diagnostics; not used by the dynamics)
     east_e: jnp.ndarray
@@ -212,6 +218,8 @@ def make_grid(cfg: Config,
         dx=dev(dx), dy=dev(dy), h=dev(h), fsm=dev(fsm),
         dum=dev(dum), dvm=dev(dvm), cor=dev(cor),
         art=dev(art), aru=dev(aru), arv=dev(arv), cbc=dev(cbc),
+        hmax=dev(np.max(np.asarray(h) * np.asarray(fsm))
+                 if np.any(np.asarray(fsm) > 0) else np.max(h)),
         east_e=dev(east_e), north_e=dev(north_e),
         east_c=dev(east_c), north_c=dev(north_c),
         east_u=dev(east_u), north_u=dev(north_u),

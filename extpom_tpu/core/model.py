@@ -165,6 +165,22 @@ class Model:
         return fc.replace(ramp=jnp.asarray(self.ramp_value(iint),
                                            self.cfg.jnp_dtype))
 
+    def compute_wr(self) -> jnp.ndarray:
+        """Physical (z-coordinate) vertical velocity ``wr`` from the current
+        state (realvertvl, solver.f:2024-2067).
+
+        The reference computes wr every step (advance.f:534) but only
+        consumes it in output files; here it is computed on demand at output
+        time from the same post-step time levels (et=etf has already been
+        rotated), which yields the identical output values without paying
+        the stencil every step."""
+        from extpom_tpu.ops import continuity, stencil
+        st = self.state
+        with stencil.domain_of(self.cfg):
+            return continuity.realvertvl(self.grid, self.cfg, st.w, st.u,
+                                         st.v, self.grid.h + st.et, st.et,
+                                         st.etf, st.etb)
+
     def step_once(self) -> State:
         fc = self.forcing_at(self.iint + 1)
         try:
@@ -214,18 +230,28 @@ class Model:
         """
         cfg = self.cfg
         n = cfg.iend if n_steps is None else n_steps
-        iprint = cfg.iprint if check_interval is None else check_interval
         t0 = _time.perf_counter()
         for _ in range(n):
             self.step_once()
+            # print-interval switch at iswtch (advance.f:65-68)
+            if check_interval is not None:
+                iprint = check_interval
+            elif self.iint >= cfg.iswtch:
+                iprint = cfg.iprint2
+            else:
+                iprint = cfg.iprint
             if self.iint % iprint == 0 or self.iint == n:
                 st = self.state
-                vamax, loc = diag_stats.check_velocity(cfg, st.va)
+                vamax, (iloc, jloc) = diag_stats.check_velocity(cfg, st.va)
                 vamax = float(vamax)
                 if not np.isfinite(vamax) or vamax > cfg.vmaxl:
+                    i, j = int(iloc), int(jloc)
+                    lon = float(self.grid.east_e[i, j])
+                    lat = float(self.grid.north_e[i, j])
                     raise FloatingPointError(
                         f"velocity condition violated: vamax={vamax:.3e} "
-                        f"at flat index {int(loc)}, iint={self.iint}")
+                        f"at (i,j)=({i},{j}) lon/lat=({lon:.4f},{lat:.4f}),"
+                        f" iint={self.iint}")
                 if log is not None or on_print is not None:
                     s = {k: float(v) for k, v in
                          diag_stats.domain_stats(self.grid, cfg, st).items()}

@@ -354,6 +354,14 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
     ``rmean``/``tclim``/``sclim`` are the climatology fields (static over a
     run, but passed as arrays so one compilation serves any case).
     """
+    from extpom_tpu.ops import stencil
+    with stencil.domain_of(cfg):
+        return _step(grid, cfg, st, fc, rmean, tclim, sclim, first)
+
+
+def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
+          rmean: jnp.ndarray, tclim: jnp.ndarray, sclim: jnp.ndarray,
+          first: bool = False) -> State:
     # lateral viscosity + 3-D advection/pressure terms (advance.f:21)
     if cfg.mode != 2:
         dt = grid.h + st.et

@@ -30,7 +30,12 @@ def domain_stats(grid: Grid, cfg: Config, st: State) -> Dict[str, jnp.ndarray]:
     (advance.f:735-739).
     """
     kbm1 = cfg.kbm1
-    darea = grid.dx * grid.dy * grid.fsm
+    # restrict to the active region when arrays are padded (mesh.padding)
+    ia = cfg.im_act or cfg.im
+    ja = cfg.jm_act or cfg.jm
+    act = lambda a: a[..., :ia, :ja]
+    grid_dx, grid_dy, grid_fsm = act(grid.dx), act(grid.dy), act(grid.fsm)
+    darea = grid_dx * grid_dy * grid_fsm
 
     def edge_sum(a2d):
         # interior + all four physical edges, corners excluded
@@ -39,10 +44,10 @@ def domain_stats(grid: Grid, cfg: Config, st: State) -> Dict[str, jnp.ndarray]:
                 + jnp.sum(a2d[1:-1, 0]) + jnp.sum(a2d[1:-1, -1]))
 
     atot = edge_sum(darea)
-    eavg = edge_sum(st.et * darea)
+    eavg = edge_sum(act(st.et) * darea)
     eavg = jnp.where(atot != 0, eavg / atot, 0.0)
 
-    dt2 = grid.h + st.et
+    dt2 = act(grid.h) + act(st.et)
     dvol = darea[None] * dt2[None] * grid.dz3[:kbm1]     # (kbm1, im, jm)
 
     def edge_sum3(a3d):
@@ -51,16 +56,16 @@ def domain_stats(grid: Grid, cfg: Config, st: State) -> Dict[str, jnp.ndarray]:
                 + jnp.sum(a3d[:, 1:-1, 0]) + jnp.sum(a3d[:, 1:-1, -1]))
 
     vtot = edge_sum3(dvol)
-    dmass = dvol * (st.rho[:kbm1] * cfg.rhoref + 1000.0)
+    dmass = dvol * (act(st.rho)[:kbm1] * cfg.rhoref + 1000.0)
     # mtot sums the interior only (advance.f:700-702)
     mtot = jnp.sum(dmass[:, 1:-1, 1:-1])
-    tavg = edge_sum3(st.tb[:kbm1] * dvol)
-    stot = edge_sum3(st.sb[:kbm1] * dvol)
+    tavg = edge_sum3(act(st.tb)[:kbm1] * dvol)
+    stot = edge_sum3(act(st.sb)[:kbm1] * dvol)
     tavg = jnp.where(vtot != 0, tavg / vtot, 0.0)
     savg = jnp.where(vtot != 0, stot / vtot, 0.0)
 
     # kinetic energy: interior + east/north edges only (advance.f:733-740)
-    ke = dmass * (st.u[:kbm1] ** 2 + st.v[:kbm1] ** 2)
+    ke = dmass * (act(st.u)[:kbm1] ** 2 + act(st.v)[:kbm1] ** 2)
     ekin = (0.5 * jnp.sum(ke[:, 1:-1, 1:-1])
             + jnp.sum(ke[:, -1, 1:-1]) + jnp.sum(ke[:, 1:-1, -1]))
 
@@ -69,13 +74,16 @@ def domain_stats(grid: Grid, cfg: Config, st: State) -> Dict[str, jnp.ndarray]:
 
 
 def check_velocity(cfg: Config, vaf: jnp.ndarray
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Blow-up detector (advance.f:611-641).
 
-    Returns (vamax, flat argmax index); caller compares vamax > cfg.vmaxl.
+    Returns (vamax, (i, j) argmax location); the caller compares
+    vamax > cfg.vmaxl and reports the grid location plus coordinates, like
+    the reference's imax/jmax + east_e/north_e printout (advance.f:625-636).
     """
     a = jnp.abs(vaf)
-    return jnp.max(a), jnp.argmax(a)
+    i, j = jnp.unravel_index(jnp.argmax(a), a.shape)
+    return jnp.max(a), (i, j)
 
 
 def cfl_min(grid: Grid, cfg: Config) -> jnp.ndarray:

@@ -32,10 +32,11 @@ from extpom_tpu.core.grid import Grid
 from extpom_tpu.core.state import Forcing
 
 # record cadences in days (bounds_forcing.f:607 tbc=1/24; :886 twind=0.125;
-# :929 theat=0.125; :1000 twater=30)
+# :929 theat=0.125; :1000 twater=30; :1033 trst=30)
 TBC = 1.0 / 24.0
 TSURF = 0.125
 TWATER = 30.0
+TRST = 30.0
 
 
 class ArraySource:
@@ -63,6 +64,7 @@ WIND_VARS = ("wusurf", "wvsurf")                       # .sfrc wind stress
 HEAT_VARS = ("wtsurf", "swrad")                        # .sfrc heat fluxes
 SURF_VARS = ("tsurf", "ssurf")                         # .sfrc SST/SSS
 WATER_VARS = ("wssurf",)                               # .water freshwater
+RESTORE_VARS = ("trstr", "srstr", "taurstr")           # .clim restore series
 BRY_SIDES = ("w", "e", "s", "n")
 BRY_2D = tuple(f"el{s}" for s in BRY_SIDES)            # zeta.* series
 BRY_3D = tuple(f"{v}b{s}" for v in ("t", "s", "u", "v") for s in BRY_SIDES)
@@ -82,6 +84,8 @@ class ForcingProvider:
                  source: Optional[ArraySource] = None,
                  bry_cadence_days: float = TBC,
                  surf_cadence_days: float = TSURF,
+                 water_cadence_days: float = TWATER,
+                 restore_cadence_days: float = TRST,
                  cont_bry_offset: int = 0,
                  prefetch: bool = True):
         self.grid = grid
@@ -90,6 +94,8 @@ class ForcingProvider:
         self.source = source
         self.tbc = bry_cadence_days
         self.tsurf_cad = surf_cadence_days
+        self.twater_cad = water_cadence_days
+        self.trst_cad = restore_cadence_days
         self.cont_bry_offset = cont_bry_offset
         self._pool = ThreadPoolExecutor(max_workers=1) if prefetch else None
         self._prefetched: Dict[tuple, object] = {}
@@ -135,14 +141,33 @@ class ForcingProvider:
         names = set(self.source.names())
         upd = {}
 
-        for v in WIND_VARS + HEAT_VARS + WATER_VARS:
+        for v in WIND_VARS + HEAT_VARS:
             if v in names:
                 upd[v] = jnp.asarray(
                     self._interp(v, t_days, self.tsurf_cad), cfg.jnp_dtype)
+        for v in WATER_VARS:                  # twater=30 d cadence
+            if v in names:                    # (bounds_forcing.f:986-1020)
+                upd[v] = jnp.asarray(
+                    self._interp(v, t_days, self.twater_cad), cfg.jnp_dtype)
         for v in SURF_VARS:                   # no time interpolation
             if v in names:                    # (bounds_forcing.f:963-983)
                 n = int(np.floor(t_days / self.tsurf_cad))
                 upd[v] = jnp.asarray(self._read(v, n), cfg.jnp_dtype)
+
+        # interior restoring climatology series, 30-day records with linear
+        # time interpolation (read_restore_ts_interior_pnetcdf io_pnetcdf.F:
+        # 3275-3335 driven by restore_interior, bounds_forcing.f:1036-1094);
+        # taurstr defaults to the constant 1/trst [1/day] the reference uses
+        # (bounds_forcing.f:1043)
+        if "trstr" in names or "srstr" in names:
+            for v in RESTORE_VARS:
+                if v in names:
+                    upd[v] = jnp.asarray(
+                        self._interp(v, t_days, self.trst_cad),
+                        cfg.jnp_dtype)
+            if "taurstr" not in names:
+                upd["taurstr"] = jnp.full(
+                    (1, 1, 1), 1.0 / self.trst_cad, cfg.jnp_dtype)
 
         # lateral boundary series, offset by cont_bry
         toff = self.cont_bry_offset * self.tbc

@@ -122,14 +122,19 @@ OUTPUT_3D = ("u", "v", "w", "t", "s", "rho", "km", "kh", "aam")
 
 
 def write_output(path: str, grid: Grid, cfg: Config, state: State,
-                 time_days: float, stats: Optional[Dict] = None) -> None:
+                 time_days: float, stats: Optional[Dict] = None,
+                 extra: Optional[Dict] = None) -> None:
     """One snapshot dataset: grid + prognostic fields + diagnostics
     (grid/uab/vab/elb/u/v/w/t/s/rho on zz, w on z; scalars from
-    domain_stats — matching write_output_pnetcdf's contents)."""
+    domain_stats — matching write_output_pnetcdf's contents).  ``extra``
+    adds derived fields (e.g. wr when cfg.calc_wr)."""
     for name in OUTPUT_GRID_VARS:
         write_array(path, name, getattr(grid, name))
     for name in OUTPUT_2D + OUTPUT_3D:
         write_array(path, name, getattr(state, name))
+    if extra:
+        for name, arr in extra.items():
+            write_array(path, name, arr)
     attrs = {"time_days": float(time_days),
              "tbias": cfg.tbias, "sbias": cfg.sbias,
              "format": "extpom_tpu.output.v1"}

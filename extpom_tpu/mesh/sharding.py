@@ -74,15 +74,16 @@ def shard_pytree(tree, mesh: Mesh, im: int, jm: int):
 
 
 def shard_model_arrays(grid: Grid, state: State, fc: Forcing, mesh: Mesh,
-                       *extra):
+                       *extra, allow_ragged: bool = True):
     """Shard (grid, state, forcing, *extra 3-D fields) over ``mesh``.
 
-    im/jm must be divisible by the mesh axis sizes (pad the grid or pick a
-    matching decomposition otherwise — the reference instead shrinks its
-    ragged edge tiles, parallel_mpi.f:88-105)."""
+    Non-divisible (ragged) grids are supported: GSPMD pads the trailing
+    shard internally, the equivalent of the reference's shrunken edge tiles
+    (parallel_mpi.f:88-105).  Pass ``allow_ragged=False`` to require exact
+    divisibility."""
     im, jm = grid.im, grid.jm
     px, py = mesh.shape["x"], mesh.shape["y"]
-    if im % px or jm % py:
+    if (im % px or jm % py) and not allow_ragged:
         raise ValueError(f"grid {im}x{jm} not divisible by mesh {px}x{py}")
     if (px > 1 and im // px < 8) or (py > 1 and jm // py < 8):
         # below 8 cells/shard the halo dominates the tile (useless for

@@ -1,0 +1,154 @@
+"""Explicit shard_map execution of the model step.
+
+The GSPMD path (mesh.sharding) lets the XLA SPMD partitioner discover the
+halo exchanges implied by the shifted-slice stencils.  This module is the
+EXPLICIT alternative — the direct analogue of the reference's hand-written
+communication layer (exchange2d/3d_mpi + order2d/3d_mpi,
+parallel_mpi.f:154-480):
+
+* every horizontal field is a per-shard LOCAL block of a 2-D ('x', 'y')
+  mesh;
+* every ``sft`` shifted read inside the step performs a ``lax.ppermute`` of
+  a width-|d| edge strip with the neighbor shard (zero-filled at the
+  physical boundary — the ``n_west == -1`` analogue), including the 2-cell
+  strips of the 4th-order McCalpin pressure gradient (order2d/3d);
+* every region mask / edge write compares GLOBAL indices (local iota +
+  block offset), so boundary conditions fire only on the shards that own a
+  physical edge;
+* the whole step body is the SAME single-source physics
+  (core.stepper._step) — the :class:`extpom_tpu.ops.stencil.DomainCtx`
+  swaps the communication implementation underneath it.
+
+Compared to GSPMD this pins the communication schedule: each halo permute
+is issued at first use of the shifted operand, so XLA can overlap it with
+the interior elementwise work that has no data dependence on it (the
+interior-first/rim-last scheduling the reference cannot express with its
+blocking MPI sends).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.grid import Grid
+from extpom_tpu.core.state import State, Forcing
+from extpom_tpu.mesh.padding import FORCING_J_SERIES, FORCING_I_SERIES
+from extpom_tpu.ops import stencil
+
+
+def _leaf_spec(name: str, a, im: int, jm: int, px: int, py: int) -> P:
+    """PartitionSpec for one named array leaf (same shape rules as
+    mesh.sharding._spec_for, plus per-side forcing series)."""
+    x = "x" if px > 1 else None
+    y = "y" if py > 1 else None
+    nd = getattr(a, "ndim", 0)
+    shape = getattr(a, "shape", ())
+    if nd == 2 and shape == (im, jm):
+        return P(x, y)
+    if nd == 3 and shape[-2:] == (im, jm):
+        return P(None, x, y)
+    if name in FORCING_J_SERIES and nd >= 1 and shape[-1] == jm:
+        return P(y) if nd == 1 else P(None, y)
+    if name in FORCING_I_SERIES and nd >= 1 and shape[-1] == im:
+        return P(x) if nd == 1 else P(None, x)
+    return P()
+
+
+def _spec_tree(obj, im, jm, px, py):
+    """Same-structure pytree of PartitionSpecs for a dataclass pytree."""
+    cls = type(obj)
+    return cls(**{f.name: _leaf_spec(f.name, getattr(obj, f.name),
+                                     im, jm, px, py)
+                  for f in dataclasses.fields(cls)})
+
+
+def make_shardmap_step(mesh: Mesh, grid: Grid, cfg: Config,
+                       fc_example: Forcing, donate: bool = False):
+    """Build a jitted shard_map step function.
+
+    Returns ``step_fn(grid, state, fc, rmean, tclim, sclim, first=False)``
+    operating on arrays sharded over ``mesh`` (use :func:`shard_args`).
+    ``cfg.im``/``jm`` must divide the mesh (pad with mesh.padding first).
+    """
+    from extpom_tpu.core import stepper
+
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    im, jm = cfg.im, cfg.jm
+    if im % px or jm % py:
+        raise ValueError(f"grid {im}x{jm} does not divide mesh {px}x{py}; "
+                         "use mesh.padding.pad_model first")
+    ni, nj = im // px, jm // py
+
+    grid_spec = _spec_tree(grid, im, jm, px, py)
+    fc_spec = _spec_tree(fc_example, im, jm, px, py)
+    state_spec = _spec_tree_state(im, jm, px, py)
+    r3 = P(None, "x" if px > 1 else None, "y" if py > 1 else None)
+
+    def local_step(grid_l, st_l, fc_l, rmean_l, tclim_l, sclim_l, first):
+        ctx = stencil.DomainCtx(
+            im=cfg.im_act or im, jm=cfg.jm_act or jm,
+            axis_x="x", axis_y="y", px=px, py=py,
+            off_i=lax.axis_index("x") * ni,
+            off_j=lax.axis_index("y") * nj)
+        with stencil.domain(ctx):
+            return stepper._step(grid_l, cfg, st_l, fc_l, rmean_l,
+                                 tclim_l, sclim_l, first=first)
+
+    def build(first):
+        return shard_map(
+            functools.partial(local_step, first=first),
+            mesh=mesh,
+            in_specs=(grid_spec, state_spec, fc_spec, r3, r3, r3),
+            out_specs=state_spec,
+            check_rep=False)
+
+    kw = dict(static_argnames=("first",))
+    if donate:
+        kw["donate_argnums"] = (1,)
+
+    @functools.partial(jax.jit, **kw)
+    def step_fn(grid_a, st, fc, rmean, tclim, sclim, first=False):
+        return build(first)(grid_a, st, fc, rmean, tclim, sclim)
+
+    return step_fn
+
+
+def _spec_tree_state(im, jm, px, py):
+    from extpom_tpu.core.state import FIELDS_2D
+    x = "x" if px > 1 else None
+    y = "y" if py > 1 else None
+    return State(**{f.name: (P(x, y) if f.name in FIELDS_2D
+                             else P(None, x, y))
+                    for f in dataclasses.fields(State)})
+
+
+def shard_args(mesh: Mesh, cfg: Config, grid: Grid, st: State, fc: Forcing,
+               *extra):
+    """Device-put (grid, state, fc, *extra) with the shard_map layout."""
+    im, jm = cfg.im, cfg.jm
+    px, py = mesh.shape["x"], mesh.shape["y"]
+
+    def put_tree(obj):
+        if dataclasses.is_dataclass(obj):
+            spec = _spec_tree(obj, im, jm, px, py)
+            return type(obj)(**{
+                f.name: jax.device_put(
+                    getattr(obj, f.name),
+                    NamedSharding(mesh, getattr(spec, f.name)))
+                for f in dataclasses.fields(obj)})
+        a = jnp.asarray(obj)
+        return jax.device_put(
+            a, NamedSharding(mesh, _leaf_spec("", a, im, jm, px, py)))
+
+    out = [put_tree(grid), put_tree(st), put_tree(fc)]
+    out.extend(put_tree(e) for e in extra)
+    return tuple(out)

@@ -66,10 +66,11 @@ def realvertvl(grid: Grid, cfg: Config,
                   + v * (tps - sft(tps, 0, -1)) * dyb)
          + (1.0 + grid.zz3) * (etf - etb) / cfg.dti2), *s_[KM1, 1:-1, 1:-1])
 
-    # physical-edge copies, reference order S, N, W, E (solver.f:2057-2060)
-    wr = set_j(wr, 0, wr[:, :, 1])
-    wr = set_j(wr, -1, wr[:, :, -2])
-    wr = set_i(wr, 0, wr[:, 1, :])
-    wr = set_i(wr, -1, wr[:, -2, :])
+    # physical-edge copies, reference order S, N, W, E (solver.f:2057-2060);
+    # sft-based full-array form (SPMD/pad-safe)
+    wr = set_j(wr, 0, sft(wr, 0, 1))
+    wr = set_j(wr, -1, sft(wr, 0, -1))
+    wr = set_i(wr, 0, sft(wr, 1, 0))
+    wr = set_i(wr, -1, sft(wr, -1, 0))
 
     return put(wr * grid.fsm, wr, *s_[kbm1:])

@@ -94,10 +94,10 @@ def advu(grid: Grid, cfg: Config,
     KM1 = slice(0, kbm1)
     z3 = jnp.zeros_like(u)
 
-    # vertical advection (solver.f:741-751); kept in a separate array so the
-    # combine step below reads the k+1 value pre-overwrite, like the
-    # ascending-k Fortran loop
-    vadv = put(z3, (0.25 * (w + sft(w, -1, 0)) * (u + sfk(u, -1))), *s_[1:kbm1, :, 1:])
+    # vertical advection (solver.f:741-751: k=2..kbm1, j=1..jm, i=2..im);
+    # kept in a separate array so the combine step below reads the k+1
+    # value pre-overwrite, like the ascending-k Fortran loop
+    vadv = put(z3, (0.25 * (w + sft(w, -1, 0)) * (u + sfk(u, -1))), *s_[1:kbm1, 1:, :])
 
     uf = put(z3, (advx
          + (vadv - sfk(vadv, 1)) * aru / grid.dz3
@@ -133,7 +133,8 @@ def advv(grid: Grid, cfg: Config,
     KM1 = slice(0, kbm1)
     z3 = jnp.zeros_like(v)
 
-    vadv = put(z3, (0.25 * (w + sft(w, 0, -1)) * (v + sfk(v, -1))), *s_[1:kbm1, 1:, :])
+    # solver.f:801-808: k=2..kbm1, j=2..jm, i=1..im
+    vadv = put(z3, (0.25 * (w + sft(w, 0, -1)) * (v + sfk(v, -1))), *s_[1:kbm1, :, 1:])
 
     vf = put(z3, (advy
          + (vadv - sfk(vadv, 1)) * arv / grid.dz3

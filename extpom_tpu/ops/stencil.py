@@ -25,10 +25,75 @@ masks make every rank execute the same program.
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+import contextlib
+import dataclasses
+import threading
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class DomainCtx:
+    """Horizontal-domain context for the stencil primitives.
+
+    Two orthogonal capabilities, both trace-time:
+
+    * **Active extents** (``im``, ``jm``): arrays may be PADDED beyond the
+      physical domain (ragged-decomposition support — the analogue of the
+      reference's shrunken edge tiles, parallel_mpi.f:88-105, realized as
+      pad-and-mask).  Region bounds, including negative indices, resolve
+      against the active extents, so masked writes never touch pad cells
+      and ``row``/``col`` address physical rows.
+    * **Local (shard_map) mode** (``axis_x``/``axis_y`` set): arrays are
+      per-shard LOCAL blocks of a 2-D mesh decomposition.  ``sft`` becomes
+      an explicit halo exchange (``lax.ppermute`` of edge strips — the
+      exchange2d/3d_mpi analogue, parallel_mpi.f:154-351) and region masks
+      use global indices (local iota + block offset).
+    """
+
+    im: int                      # active global i extent
+    jm: int                      # active global j extent
+    axis_x: Optional[str] = None   # mesh axis names (local mode only)
+    axis_y: Optional[str] = None
+    px: int = 1                  # mesh extent along x / y
+    py: int = 1
+    off_i: Any = 0               # global row offset of this block (traced)
+    off_j: Any = 0
+
+    @property
+    def local(self) -> bool:
+        return self.axis_x is not None or self.axis_y is not None
+
+
+_tls = threading.local()
+
+
+def _ctx() -> Optional[DomainCtx]:
+    return getattr(_tls, "domain", None)
+
+
+@contextlib.contextmanager
+def domain(ctx: Optional[DomainCtx]):
+    """Install a :class:`DomainCtx` for the enclosed trace."""
+    prev = _ctx()
+    _tls.domain = ctx
+    try:
+        yield
+    finally:
+        _tls.domain = prev
+
+
+def domain_of(cfg) -> "contextlib.AbstractContextManager":
+    """Context for a (possibly padded) global-array trace of ``cfg``."""
+    im_act = getattr(cfg, "im_act", None) or cfg.im
+    jm_act = getattr(cfg, "jm_act", None) or cfg.jm
+    if im_act == cfg.im and jm_act == cfg.jm:
+        return contextlib.nullcontext()
+    return domain(DomainCtx(im=im_act, jm=jm_act))
+
 
 class _RegionBuilder:
     """``s_[KM1, 1:-1, :]`` -> tuple of region entries (always a tuple,
@@ -70,18 +135,60 @@ def _shift1(a: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
         return jnp.concatenate([zeros, a[idx(slice(0, d))]], axis=ax)
 
 
+def _halo_shift(a: jnp.ndarray, d: int, axis: int, axis_name: str,
+                nsh: int) -> jnp.ndarray:
+    """Local-mode shifted read: local shift + ``lax.ppermute`` halo fill.
+
+    The vacated strip is filled with the neighbor block's edge strip; blocks
+    at the mesh boundary receive zeros (ppermute non-receivers), matching
+    the global zero-fill semantics of :func:`sft`.  This is the explicit
+    exchange2d/3d_mpi analogue (parallel_mpi.f:154-351): one collective
+    permute of a width-|d| strip per shifted read.
+    """
+    ax = axis % a.ndim
+    n = a.shape[ax]
+    w = abs(d)
+    assert w <= n, f"halo width {w} exceeds local block extent {n}"
+    idx = lambda s: tuple(s if i == ax else slice(None)
+                          for i in range(a.ndim))
+    if d > 0:
+        # read i+d: neighbor at mesh position p+1 provides its first rows
+        strip = a[idx(slice(0, w))]
+        perm = [(p + 1, p) for p in range(nsh - 1)]
+        recv = lax.ppermute(strip, axis_name, perm)
+        if d == n:
+            return recv
+        return jnp.concatenate([a[idx(slice(d, None))], recv], axis=ax)
+    else:
+        strip = a[idx(slice(n - w, None))]
+        perm = [(p, p + 1) for p in range(nsh - 1)]
+        recv = lax.ppermute(strip, axis_name, perm)
+        if w == n:
+            return recv
+        return jnp.concatenate([recv, a[idx(slice(0, d))]], axis=ax)
+
+
 def sft(a: jnp.ndarray, di: int = 0, dj: int = 0) -> jnp.ndarray:
     """Horizontal shifted read: ``out[..., i, j] = a[..., i+di, j+dj]``.
 
     Out-of-range reads yield 0, matching the reference's pattern of
     zero-initialized scratch arrays combined with partial loop ranges.
-    The i axis is ``-2``, the j axis is ``-1``.
+    The i axis is ``-2``, the j axis is ``-1``.  In shard_map local mode
+    the shift crosses block boundaries via an explicit ppermute halo
+    exchange (see :class:`DomainCtx`).
     """
+    ctx = _ctx()
     out = a
     if di:
-        out = _shift1(out, di, -2)
+        if ctx is not None and ctx.local and ctx.px > 1:
+            out = _halo_shift(out, di, -2, ctx.axis_x, ctx.px)
+        else:
+            out = _shift1(out, di, -2)
     if dj:
-        out = _shift1(out, dj, -1)
+        if ctx is not None and ctx.local and ctx.py > 1:
+            out = _halo_shift(out, dj, -1, ctx.axis_y, ctx.py)
+        else:
+            out = _shift1(out, dj, -1)
     return out
 
 
@@ -108,15 +215,36 @@ def region_mask(shape: Tuple[int, ...], region) -> jnp.ndarray:
     ``put(a, e, *s_[R])`` matches ``a.at[R].set(e[R])``.  Built from
     broadcasted iota comparisons so it partitions under SPMD without
     scatter.
+
+    Under a :class:`DomainCtx`, bounds on the trailing (i, j) axes resolve
+    against the ACTIVE extents (pad cells never selected) and, in local
+    mode, compare against global indices (local iota + block offset).
     """
+    ctx = _ctx()
+    nd = len(shape)
     mask = None
     for k, r in enumerate(region):
         ax = k
         n = shape[ax]
-        lo, hi = _axis_mask(n, r)
-        if lo == 0 and hi == n:
-            continue
+        off = 0
+        if ctx is not None and ax >= nd - 2:
+            if ax == nd - 2:
+                n_act, off, nsh = ctx.im, ctx.off_i, ctx.px
+            else:
+                n_act, off, nsh = ctx.jm, ctx.off_j, ctx.py
+            lo, hi = _axis_mask(n_act, r)
+            # all cells selected only if the region covers the whole active
+            # extent and the axis carries no padding (local: px*n == im)
+            if lo == 0 and hi == n_act and n * (nsh if ctx.local else 1) \
+                    == n_act:
+                continue
+        else:
+            lo, hi = _axis_mask(n, r)
+            if lo == 0 and hi == n:
+                continue
         ii = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        if not isinstance(off, int) or off != 0:
+            ii = ii + off
         m = (ii >= lo) & (ii < hi)
         mask = m if mask is None else (mask & m)
     if mask is None:
@@ -168,17 +296,30 @@ def _expand(base: jnp.ndarray, val, axis: int, idx: int) -> jnp.ndarray:
 
 
 def row(a: jnp.ndarray, i: int) -> jnp.ndarray:
-    """``a[..., i, :]`` with a python-int index resolved statically.
+    """``a[..., i, :]`` with a python-int index resolved statically against
+    the ACTIVE i extent.
 
     jnp lowers negative-literal indexing through ``dynamic_slice`` (it emits
     a sign-normalization select), which Mosaic cannot lower inside Pallas
-    kernels; ``i % n`` resolves the index at trace time instead."""
-    return a[..., i % a.shape[-2], :]
+    kernels; ``i % n`` resolves the index at trace time instead.  Not
+    available in shard_map local mode (a global-row read is a collective) —
+    express edge logic through :func:`sft` + :func:`set_i` instead."""
+    ctx = _ctx()
+    if ctx is not None and ctx.local:
+        raise RuntimeError("row() reads a global row; not supported in "
+                           "shard_map local mode — use sft/set_i forms")
+    n = ctx.im if ctx is not None else a.shape[-2]
+    return a[..., i % n, :]
 
 
 def col(a: jnp.ndarray, j: int) -> jnp.ndarray:
     """``a[..., :, j]`` with a static python-int index (see :func:`row`)."""
-    return a[..., :, j % a.shape[-1]]
+    ctx = _ctx()
+    if ctx is not None and ctx.local:
+        raise RuntimeError("col() reads a global column; not supported in "
+                           "shard_map local mode — use sft/set_j forms")
+    n = ctx.jm if ctx is not None else a.shape[-1]
+    return a[..., :, j % n]
 
 
 def zeros_like(a: jnp.ndarray) -> jnp.ndarray:

@@ -364,13 +364,13 @@ def profq(grid: Grid, cfg: Config,
     kh = (kn * sh + kh) * 0.5
 
     # boundary cosmetics, in the reference's order N,S,E,W
-    # (solver.f:1510-1529)
+    # (solver.f:1510-1529); sft-based full-array form (SPMD/pad-safe)
     for arr_name in ("km", "kh", "kq"):
         arr = {"km": km, "kh": kh, "kq": kq}[arr_name]
-        arr = set_j(arr, -1, arr[:, :, -2])
-        arr = set_j(arr, 0, arr[:, :, 1])
-        arr = set_i(arr, -1, arr[:, -2, :])
-        arr = set_i(arr, 0, arr[:, 1, :])
+        arr = set_j(arr, -1, sft(arr, 0, -1))
+        arr = set_j(arr, 0, sft(arr, 0, 1))
+        arr = set_i(arr, -1, sft(arr, -1, 0))
+        arr = set_i(arr, 0, sft(arr, 1, 0))
         if arr_name == "km":
             km = arr
         elif arr_name == "kh":

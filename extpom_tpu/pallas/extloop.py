@@ -68,6 +68,12 @@ def fits_vmem(cfg: Config, budget_bytes: int = 11 * 2 ** 20) -> bool:
 
 def use_pallas_ext(cfg: Config) -> bool:
     """Static dispatch decision, resolved at trace time."""
+    from extpom_tpu.ops import stencil
+    ctx = stencil._ctx()
+    if ctx is not None and ctx.local:
+        # shard_map local mode: the stencils must stay jnp so sft can issue
+        # its ppermute halo exchanges
+        return False
     if cfg.pallas_ext == "off" or not _HAVE_PLTPU:
         return False
     if cfg.pallas_ext == "on":

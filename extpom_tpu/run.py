@@ -129,21 +129,27 @@ def main(argv=None):
     t0 = _time.time()
     while m.iint < cfg.iend:
         m.step_once()
-        if m.iint % cfg.iprint == 0 or m.iint == cfg.iend:
+        # print-interval switch at iswtch (advance.f:65-68)
+        iprint = cfg.iprint if m.iint < cfg.iswtch else cfg.iprint2
+        if m.iint % iprint == 0 or m.iint == cfg.iend:
             s = {k: float(v) for k, v in diag_stats.domain_stats(
                 m.grid, cfg, m.state).items()}
-            vamax, _ = diag_stats.check_velocity(cfg, m.state.va)
+            vamax, (iloc, jloc) = diag_stats.check_velocity(cfg, m.state.va)
             if not np.isfinite(float(vamax)) or float(vamax) > cfg.vmaxl:
+                i, j = int(iloc), int(jloc)
                 print("POM terminated with error: velocity condition "
-                      f"violated, vamax={float(vamax):.3e}")
+                      f"violated, vamax={float(vamax):.3e} at (i,j)="
+                      f"({i},{j}) lon/lat=({float(m.grid.east_e[i,j]):.4f},"
+                      f"{float(m.grid.north_e[i,j]):.4f})")
                 return 1
             print(f"time = {m.time_days:9.4f}  iint = {m.iint:8d}  "
                   f"vtot = {s['vtot']:.7e}  eaver = {s['eaver']:.7e}  "
                   f"taver = {s['taver']:.7e}  saver = {s['saver']:.7e}")
             n_out += 1
+            extra = {"wr": m.compute_wr()} if cfg.calc_wr else None
             zio.write_output(
                 os.path.join(out_dir, f"{run}.{m.iint:06d}"),
-                m.grid, cfg, m.state, m.time_days, s)
+                m.grid, cfg, m.state, m.time_days, s, extra=extra)
         if m.iint % cfg.irestart == 0:
             zio.write_restart(
                 os.path.join(out_dir, f"{run}.rst.{m.iint:06d}"),

@@ -264,3 +264,851 @@ def profu_ref(uf_in, ub, vb, km, etf, wusurf, h, cbc, dum,
                 uf[k, i, j] = (ee[k] * uf[k+1, i, j] + gg[k]) * dum[i, j]
             wubot[i, j] = -tps * uf[kbm1-1, i, j]
     return uf, wubot
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: oracles for the remaining solver.f kernels
+# ---------------------------------------------------------------------------
+
+def advave_ref(d, ua, va, uab, vab, aam2d, wubot_in, wvbot_in,
+               cbc, dx, dy, aru, arv, mode):
+    """External-mode momentum advection + diffusion, solver.f:6-199.
+
+    Single-tile semantics (n_west = n_south = -1: curvature loops start one
+    row further in at the physical west/south edges)."""
+    im, jm = d.shape
+    advua = np.zeros((im, jm))
+    fluxua = np.zeros((im, jm))
+    fluxva = np.zeros((im, jm))
+    # u-advection: advective fluxes (solver.f:20-34)
+    for j in range(1, jm):
+        for i in range(1, im - 1):
+            fluxua[i, j] = (0.125 * ((d[i+1, j] + d[i, j]) * ua[i+1, j]
+                                     + (d[i, j] + d[i-1, j]) * ua[i, j])
+                            * (ua[i+1, j] + ua[i, j]))
+    for j in range(1, jm):
+        for i in range(1, im):
+            fluxva[i, j] = (0.125 * ((d[i, j] + d[i, j-1]) * va[i, j]
+                                     + (d[i-1, j] + d[i-1, j-1]) * va[i-1, j])
+                            * (ua[i, j] + ua[i, j-1]))
+    # viscous fluxes (solver.f:37-58)
+    for j in range(1, jm):
+        for i in range(1, im - 1):
+            fluxua[i, j] -= (d[i, j] * 2.0 * aam2d[i, j]
+                             * (uab[i+1, j] - uab[i, j]) / dx[i, j])
+    tps = np.zeros((im, jm))
+    for j in range(1, jm):
+        for i in range(1, im):
+            tps[i, j] = (0.25 * (d[i, j] + d[i-1, j] + d[i, j-1] + d[i-1, j-1])
+                         * (aam2d[i, j] + aam2d[i, j-1]
+                            + aam2d[i-1, j] + aam2d[i-1, j-1])
+                         * ((uab[i, j] - uab[i, j-1])
+                            / (dy[i, j] + dy[i-1, j] + dy[i, j-1] + dy[i-1, j-1])
+                            + (vab[i, j] - vab[i-1, j])
+                            / (dx[i, j] + dx[i-1, j] + dx[i, j-1] + dx[i-1, j-1])))
+            fluxua[i, j] *= dy[i, j]
+            fluxva[i, j] = ((fluxva[i, j] - tps[i, j]) * 0.25
+                            * (dx[i, j] + dx[i-1, j] + dx[i, j-1] + dx[i-1, j-1]))
+    for j in range(1, jm - 1):
+        for i in range(1, im - 1):
+            advua[i, j] = (fluxua[i, j] - fluxua[i-1, j]
+                           + fluxva[i, j+1] - fluxva[i, j])
+    # v-advection (solver.f:72-121)
+    advva = np.zeros((im, jm))
+    fluxua = np.zeros((im, jm))
+    fluxva = np.zeros((im, jm))
+    for j in range(1, jm):
+        for i in range(1, im):
+            fluxua[i, j] = (0.125 * ((d[i, j] + d[i-1, j]) * ua[i, j]
+                                     + (d[i, j-1] + d[i-1, j-1]) * ua[i, j-1])
+                            * (va[i-1, j] + va[i, j]))
+    for j in range(1, jm - 1):
+        for i in range(1, im):
+            fluxva[i, j] = (0.125 * ((d[i, j+1] + d[i, j]) * va[i, j+1]
+                                     + (d[i, j] + d[i, j-1]) * va[i, j])
+                            * (va[i, j+1] + va[i, j]))
+    for j in range(1, jm - 1):
+        for i in range(1, im):
+            fluxva[i, j] -= (d[i, j] * 2.0 * aam2d[i, j]
+                             * (vab[i, j+1] - vab[i, j]) / dy[i, j])
+    for j in range(1, jm):
+        for i in range(1, im):
+            fluxva[i, j] *= dx[i, j]
+            fluxua[i, j] = ((fluxua[i, j] - tps[i, j]) * 0.25
+                            * (dy[i, j] + dy[i-1, j] + dy[i, j-1] + dy[i-1, j-1]))
+    for j in range(1, jm - 1):
+        for i in range(1, im - 1):
+            advva[i, j] = (fluxua[i+1, j] - fluxua[i, j]
+                           + fluxva[i, j] - fluxva[i, j-1])
+
+    wubot = wubot_in.copy()
+    wvbot = wvbot_in.copy()
+    if mode == 2:
+        # bottom stress + curvature terms (solver.f:123-195)
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                wubot[i, j] = (-0.5 * (cbc[i, j] + cbc[i-1, j])
+                               * np.sqrt(uab[i, j] ** 2
+                                         + (0.25 * (vab[i, j] + vab[i, j+1]
+                                                    + vab[i-1, j]
+                                                    + vab[i-1, j+1])) ** 2)
+                               * uab[i, j])
+                wvbot[i, j] = (-0.5 * (cbc[i, j] + cbc[i, j-1])
+                               * np.sqrt(vab[i, j] ** 2
+                                         + (0.25 * (uab[i, j] + uab[i+1, j]
+                                                    + uab[i, j-1]
+                                                    + uab[i+1, j-1])) ** 2)
+                               * vab[i, j])
+        curv2d = np.zeros((im, jm))
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                curv2d[i, j] = (0.25 * ((va[i, j+1] + va[i, j])
+                                        * (dy[i+1, j] - dy[i-1, j])
+                                        - (ua[i+1, j] + ua[i, j])
+                                        * (dx[i, j+1] - dx[i, j-1]))
+                                / (dx[i, j] * dy[i, j]))
+        for j in range(1, jm - 1):
+            for i in range(2, im - 1):        # west edge: i from 3
+                advua[i, j] -= (aru[i, j] * 0.25
+                                * (curv2d[i, j] * d[i, j]
+                                   * (va[i, j+1] + va[i, j])
+                                   + curv2d[i-1, j] * d[i-1, j]
+                                   * (va[i-1, j+1] + va[i-1, j])))
+        for i in range(1, im - 1):
+            for j in range(2, jm - 1):        # south edge: j from 3
+                advva[i, j] += (arv[i, j] * 0.25
+                                * (curv2d[i, j] * d[i, j]
+                                   * (ua[i+1, j] + ua[i, j])
+                                   + curv2d[i, j-1] * d[i, j-1]
+                                   * (ua[i+1, j-1] + ua[i, j-1])))
+    return advua, advva, wubot, wvbot
+
+
+def advct_ref(u, v, ub, vb, aam, dt, dx, dy, aru, arv, kbm1):
+    """3-D horizontal momentum advection + diffusion, solver.f:201-408
+    (single tile: curvature loops honor the physical west/south edges)."""
+    kb, im, jm = u.shape
+    curv = np.zeros((kb, im, jm))
+    for k in range(kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                curv[k, i, j] = (0.25 * ((v[k, i, j+1] + v[k, i, j])
+                                         * (dy[i+1, j] - dy[i-1, j])
+                                         - (u[k, i+1, j] + u[k, i, j])
+                                         * (dx[i, j+1] - dx[i, j-1]))
+                                 / (dx[i, j] * dy[i, j]))
+    # x-component (solver.f:231-313)
+    advx = np.zeros((kb, im, jm))
+    xflux = np.zeros((kb, im, jm))
+    yflux = np.zeros((kb, im, jm))
+    for k in range(kbm1):
+        for j in range(jm):
+            for i in range(1, im - 1):
+                xflux[k, i, j] = (0.125 * ((dt[i+1, j] + dt[i, j]) * u[k, i+1, j]
+                                           + (dt[i, j] + dt[i-1, j]) * u[k, i, j])
+                                  * (u[k, i+1, j] + u[k, i, j]))
+        for j in range(1, jm):
+            for i in range(1, im):
+                yflux[k, i, j] = (0.125 * ((dt[i, j] + dt[i, j-1]) * v[k, i, j]
+                                           + (dt[i-1, j] + dt[i-1, j-1])
+                                           * v[k, i-1, j])
+                                  * (u[k, i, j] + u[k, i, j-1]))
+        for j in range(1, jm):
+            for i in range(1, im - 1):
+                xflux[k, i, j] -= (dt[i, j] * aam[k, i, j] * 2.0
+                                   * (ub[k, i+1, j] - ub[k, i, j]) / dx[i, j])
+                dtaam = (0.25 * (dt[i, j] + dt[i-1, j] + dt[i, j-1]
+                                 + dt[i-1, j-1])
+                         * (aam[k, i, j] + aam[k, i-1, j]
+                            + aam[k, i, j-1] + aam[k, i-1, j-1]))
+                yflux[k, i, j] -= (dtaam
+                                   * ((ub[k, i, j] - ub[k, i, j-1])
+                                      / (dy[i, j] + dy[i-1, j]
+                                         + dy[i, j-1] + dy[i-1, j-1])
+                                      + (vb[k, i, j] - vb[k, i-1, j])
+                                      / (dx[i, j] + dx[i-1, j]
+                                         + dx[i, j-1] + dx[i-1, j-1])))
+                xflux[k, i, j] *= dy[i, j]
+                yflux[k, i, j] *= 0.25 * (dx[i, j] + dx[i-1, j]
+                                          + dx[i, j-1] + dx[i-1, j-1])
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                advx[k, i, j] = (xflux[k, i, j] - xflux[k, i-1, j]
+                                 + yflux[k, i, j+1] - yflux[k, i, j])
+        for j in range(1, jm - 1):
+            for i in range(2, im - 1):        # west edge: i from 3
+                advx[k, i, j] -= (aru[i, j] * 0.25
+                                  * (curv[k, i, j] * dt[i, j]
+                                     * (v[k, i, j+1] + v[k, i, j])
+                                     + curv[k, i-1, j] * dt[i-1, j]
+                                     * (v[k, i-1, j+1] + v[k, i-1, j])))
+    # y-component (solver.f:317-403)
+    advy = np.zeros((kb, im, jm))
+    xflux = np.zeros((kb, im, jm))
+    yflux = np.zeros((kb, im, jm))
+    for k in range(kbm1):
+        for j in range(1, jm):
+            for i in range(1, im):
+                xflux[k, i, j] = (0.125 * ((dt[i, j] + dt[i-1, j]) * u[k, i, j]
+                                           + (dt[i, j-1] + dt[i-1, j-1])
+                                           * u[k, i, j-1])
+                                  * (v[k, i, j] + v[k, i-1, j]))
+        for j in range(1, jm - 1):
+            for i in range(im):
+                yflux[k, i, j] = (0.125 * ((dt[i, j+1] + dt[i, j]) * v[k, i, j+1]
+                                           + (dt[i, j] + dt[i, j-1]) * v[k, i, j])
+                                  * (v[k, i, j+1] + v[k, i, j]))
+        for j in range(1, jm - 1):
+            for i in range(1, im):
+                dtaam = (0.25 * (dt[i, j] + dt[i-1, j] + dt[i, j-1]
+                                 + dt[i-1, j-1])
+                         * (aam[k, i, j] + aam[k, i-1, j]
+                            + aam[k, i, j-1] + aam[k, i-1, j-1]))
+                xflux[k, i, j] -= (dtaam
+                                   * ((ub[k, i, j] - ub[k, i, j-1])
+                                      / (dy[i, j] + dy[i-1, j]
+                                         + dy[i, j-1] + dy[i-1, j-1])
+                                      + (vb[k, i, j] - vb[k, i-1, j])
+                                      / (dx[i, j] + dx[i-1, j]
+                                         + dx[i, j-1] + dx[i-1, j-1])))
+                yflux[k, i, j] -= (dt[i, j] * aam[k, i, j] * 2.0
+                                   * (vb[k, i, j+1] - vb[k, i, j]) / dy[i, j])
+                xflux[k, i, j] *= 0.25 * (dy[i, j] + dy[i-1, j]
+                                          + dy[i, j-1] + dy[i-1, j-1])
+                yflux[k, i, j] *= dx[i, j]
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                advy[k, i, j] = (xflux[k, i+1, j] - xflux[k, i, j]
+                                 + yflux[k, i, j] - yflux[k, i, j-1])
+        for i in range(1, im - 1):
+            for j in range(2, jm - 1):        # south edge: j from 3
+                advy[k, i, j] += (arv[i, j] * 0.25
+                                  * (curv[k, i, j] * dt[i, j]
+                                     * (u[k, i+1, j] + u[k, i, j])
+                                     + curv[k, i, j-1] * dt[i, j-1]
+                                     * (u[k, i+1, j-1] + u[k, i, j-1])))
+    return advx, advy
+
+
+def advq_ref(qb, q, u, v, w, aam, dt, etb, etf,
+             h, dum, dvm, dx, dy, art, dz, dti2, kbm1):
+    """TKE-pair advection-diffusion + leapfrog, solver.f:411-477."""
+    kb, im, jm = q.shape
+    xflux = np.zeros((kb, im, jm))
+    yflux = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(1, jm):
+            for i in range(1, im):
+                xflux[k, i, j] = (0.125 * (q[k, i, j] + q[k, i-1, j])
+                                  * (dt[i, j] + dt[i-1, j])
+                                  * (u[k, i, j] + u[k-1, i, j]))
+                yflux[k, i, j] = (0.125 * (q[k, i, j] + q[k, i, j-1])
+                                  * (dt[i, j] + dt[i, j-1])
+                                  * (v[k, i, j] + v[k-1, i, j]))
+    for k in range(1, kbm1):
+        for j in range(1, jm):
+            for i in range(1, im):
+                xflux[k, i, j] -= (0.25 * (aam[k, i, j] + aam[k, i-1, j]
+                                           + aam[k-1, i, j] + aam[k-1, i-1, j])
+                                   * (h[i, j] + h[i-1, j])
+                                   * (qb[k, i, j] - qb[k, i-1, j]) * dum[i, j]
+                                   / (dx[i, j] + dx[i-1, j]))
+                yflux[k, i, j] -= (0.25 * (aam[k, i, j] + aam[k, i, j-1]
+                                           + aam[k-1, i, j] + aam[k-1, i, j-1])
+                                   * (h[i, j] + h[i, j-1])
+                                   * (qb[k, i, j] - qb[k, i, j-1]) * dvm[i, j]
+                                   / (dy[i, j] + dy[i, j-1]))
+                xflux[k, i, j] *= 0.5 * (dy[i, j] + dy[i-1, j])
+                yflux[k, i, j] *= 0.5 * (dx[i, j] + dx[i, j-1])
+    qf = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                qf[k, i, j] = ((w[k-1, i, j] * q[k-1, i, j]
+                                - w[k+1, i, j] * q[k+1, i, j]) * art[i, j]
+                               / (dz[k] + dz[k-1])
+                               + xflux[k, i+1, j] - xflux[k, i, j]
+                               + yflux[k, i, j+1] - yflux[k, i, j])
+                qf[k, i, j] = (((h[i, j] + etb[i, j]) * art[i, j]
+                                * qb[k, i, j] - dti2 * qf[k, i, j])
+                               / ((h[i, j] + etf[i, j]) * art[i, j]))
+    return qf
+
+
+def advu_ref(u, ub, v, w, advx, drhox, dt, egf, egb, e_atmos, etb, etf,
+             h, dy, aru, cor, dz, grav, dti2, kbm1):
+    """u-momentum tendency + leapfrog step, solver.f:734-788."""
+    kb, im, jm = u.shape
+    vadv = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(jm):
+            for i in range(1, im):
+                vadv[k, i, j] = (0.25 * (w[k, i, j] + w[k, i-1, j])
+                                 * (u[k, i, j] + u[k-1, i, j]))
+    uf = vadv.copy()
+    for k in range(kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                uf[k, i, j] = (advx[k, i, j]
+                               + (vadv[k, i, j] - vadv[k+1, i, j])
+                               * aru[i, j] / dz[k]
+                               - aru[i, j] * 0.25
+                               * (cor[i, j] * dt[i, j]
+                                  * (v[k, i, j+1] + v[k, i, j])
+                                  + cor[i-1, j] * dt[i-1, j]
+                                  * (v[k, i-1, j+1] + v[k, i-1, j]))
+                               + grav * 0.125 * (dt[i, j] + dt[i-1, j])
+                               * (egf[i, j] - egf[i-1, j]
+                                  + egb[i, j] - egb[i-1, j]
+                                  + (e_atmos[i, j] - e_atmos[i-1, j]) * 2.0)
+                               * (dy[i, j] + dy[i-1, j])
+                               + drhox[k, i, j])
+                uf[k, i, j] = (((h[i, j] + etb[i, j] + h[i-1, j] + etb[i-1, j])
+                                * aru[i, j] * ub[k, i, j]
+                                - 2.0 * dti2 * uf[k, i, j])
+                               / ((h[i, j] + etf[i, j]
+                                   + h[i-1, j] + etf[i-1, j]) * aru[i, j]))
+    return uf
+
+
+def advv_ref(v, vb, u, w, advy, drhoy, dt, egf, egb, e_atmos, etb, etf,
+             h, dx, arv, cor, dz, grav, dti2, kbm1):
+    """v-momentum tendency + leapfrog step, solver.f:791-845."""
+    kb, im, jm = v.shape
+    vadv = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(1, jm):
+            for i in range(im):
+                vadv[k, i, j] = (0.25 * (w[k, i, j] + w[k, i, j-1])
+                                 * (v[k, i, j] + v[k-1, i, j]))
+    vf = vadv.copy()
+    for k in range(kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                vf[k, i, j] = (advy[k, i, j]
+                               + (vadv[k, i, j] - vadv[k+1, i, j])
+                               * arv[i, j] / dz[k]
+                               + arv[i, j] * 0.25
+                               * (cor[i, j] * dt[i, j]
+                                  * (u[k, i+1, j] + u[k, i, j])
+                                  + cor[i, j-1] * dt[i, j-1]
+                                  * (u[k, i+1, j-1] + u[k, i, j-1]))
+                               + grav * 0.125 * (dt[i, j] + dt[i, j-1])
+                               * (egf[i, j] - egf[i, j-1]
+                                  + egb[i, j] - egb[i, j-1]
+                                  + (e_atmos[i, j] - e_atmos[i, j-1]) * 2.0)
+                               * (dx[i, j] + dx[i, j-1])
+                               + drhoy[k, i, j])
+                vf[k, i, j] = (((h[i, j] + etb[i, j] + h[i, j-1] + etb[i, j-1])
+                                * arv[i, j] * vb[k, i, j]
+                                - 2.0 * dti2 * vf[k, i, j])
+                               / ((h[i, j] + etf[i, j]
+                                   + h[i, j-1] + etf[i, j-1]) * arv[i, j]))
+    return vf
+
+
+def smol_adif_ref(xmassflux, ymassflux, zwflux, ff, dt,
+                  aru, arv, dzz, fsm, dti2, sw, kbm1):
+    """MPDATA antidiffusive velocities, solver.f:1880-1967.  Mutates copies
+    of the mass fluxes; returns (xm, ym, zw, ff_masked)."""
+    kb, im, jm = ff.shape
+    value_min, epsilon = 1.0e-9, 1.0e-14
+    xm = xmassflux.copy()
+    ym = ymassflux.copy()
+    zw = zwflux.copy()
+    ff = ff * fsm
+    for k in range(kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im):
+                if ff[k, i, j] < value_min or ff[k, i-1, j] < value_min:
+                    xm[k, i, j] = 0.0
+                else:
+                    udx = abs(xm[k, i, j])
+                    u2dt = (dti2 * xm[k, i, j] * xm[k, i, j] * 2.0
+                            / (aru[i, j] * (dt[i-1, j] + dt[i, j])))
+                    mol = ((ff[k, i, j] - ff[k, i-1, j])
+                           / (ff[k, i-1, j] + ff[k, i, j] + epsilon))
+                    xm[k, i, j] = (udx - u2dt) * mol * sw
+                    if abs(udx) < abs(u2dt):
+                        xm[k, i, j] = 0.0
+    for k in range(kbm1):
+        for j in range(1, jm):
+            for i in range(1, im - 1):
+                if ff[k, i, j] < value_min or ff[k, i, j-1] < value_min:
+                    ym[k, i, j] = 0.0
+                else:
+                    vdy = abs(ym[k, i, j])
+                    v2dt = (dti2 * ym[k, i, j] * ym[k, i, j] * 2.0
+                            / (arv[i, j] * (dt[i, j-1] + dt[i, j])))
+                    mol = ((ff[k, i, j] - ff[k, i, j-1])
+                           / (ff[k, i, j-1] + ff[k, i, j] + epsilon))
+                    ym[k, i, j] = (vdy - v2dt) * mol * sw
+                    if abs(vdy) < abs(v2dt):
+                        ym[k, i, j] = 0.0
+    for k in range(1, kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                if ff[k, i, j] < value_min or ff[k-1, i, j] < value_min:
+                    zw[k, i, j] = 0.0
+                else:
+                    wdz = abs(zw[k, i, j])
+                    w2dt = (dti2 * zw[k, i, j] * zw[k, i, j]
+                            / (dzz[k-1] * dt[i, j]))
+                    mol = ((ff[k-1, i, j] - ff[k, i, j])
+                           / (ff[k, i, j] + ff[k-1, i, j] + epsilon))
+                    zw[k, i, j] = (wdz - w2dt) * mol * sw
+                    if abs(wdz) < abs(w2dt):
+                        zw[k, i, j] = 0.0
+    return xm, ym, zw, ff
+
+
+def advt2_ref(fb_in, f, fclim, u, v, w, aam, dt, etb, etf,
+              h, dum, dvm, fsm, dx, dy, art, aru, arv, dz, dzz,
+              dti2, tprni, sw, nitera, kbm1):
+    """Smolarkiewicz MPDATA tracer step, solver.f:577-731.  Returns ff
+    (interior j,i = 2..m-1 valid, like the reference).
+
+    Boundary-column convention: the reference's ff work array is a reused
+    scratch buffer whose boundary columns hold STALE values from earlier
+    kernels (advance.f:406-449); those stale values feed the upwind flux at
+    the first interior face from the second MPDATA iteration on.  That is
+    unreproducible; the framework's documented deviation initializes the
+    work array with ``fb`` (extpom_tpu.ops.tracers module note), which this
+    oracle follows."""
+    kb, im, jm = fb_in.shape
+    fb = fb_in.copy()
+    fb[kb-1] = fb[kb-2]
+    xmassflux = np.zeros((kb, im, jm))
+    ymassflux = np.zeros((kb, im, jm))
+    for k in range(kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im):
+                xmassflux[k, i, j] = (0.25 * (dy[i-1, j] + dy[i, j])
+                                      * (dt[i-1, j] + dt[i, j]) * u[k, i, j])
+        for j in range(1, jm):
+            for i in range(1, im - 1):
+                ymassflux[k, i, j] = (0.25 * (dx[i, j-1] + dx[i, j])
+                                      * (dt[i, j-1] + dt[i, j]) * v[k, i, j])
+    eta = etb.copy()
+    zwflux = w.copy()
+    fbmem = fb.copy()
+    ff = fb.copy()
+    xflux = np.zeros((kb, im, jm))
+    yflux = np.zeros((kb, im, jm))
+    zflux = np.zeros((kb, im, jm))
+    for itera in range(nitera):
+        for k in range(kbm1):
+            for j in range(1, jm):
+                for i in range(1, im):
+                    xflux[k, i, j] = (0.5 * ((xmassflux[k, i, j]
+                                              + abs(xmassflux[k, i, j]))
+                                             * fbmem[k, i-1, j]
+                                             + (xmassflux[k, i, j]
+                                                - abs(xmassflux[k, i, j]))
+                                             * fbmem[k, i, j]))
+                    yflux[k, i, j] = (0.5 * ((ymassflux[k, i, j]
+                                              + abs(ymassflux[k, i, j]))
+                                             * fbmem[k, i, j-1]
+                                             + (ymassflux[k, i, j]
+                                                - abs(ymassflux[k, i, j]))
+                                             * fbmem[k, i, j]))
+        zflux[0, 1:-1, 1:-1] = 0.0
+        if itera == 0:
+            zflux[0, 1:-1, 1:-1] = (w[0, 1:-1, 1:-1] * f[0, 1:-1, 1:-1]
+                                    * art[1:-1, 1:-1])
+        zflux[kb-1, 1:-1, 1:-1] = 0.0
+        for k in range(1, kbm1):
+            for j in range(1, jm - 1):
+                for i in range(1, im - 1):
+                    zflux[k, i, j] = (0.5 * ((zwflux[k, i, j]
+                                              + abs(zwflux[k, i, j]))
+                                             * fbmem[k, i, j]
+                                             + (zwflux[k, i, j]
+                                                - abs(zwflux[k, i, j]))
+                                             * fbmem[k-1, i, j])
+                                      * art[i, j])
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                for k in range(kbm1):
+                    adv = (xflux[k, i+1, j] - xflux[k, i, j]
+                           + yflux[k, i, j+1] - yflux[k, i, j]
+                           + (zflux[k, i, j] - zflux[k+1, i, j]) / dz[k])
+                    ff[k, i, j] = ((fbmem[k, i, j] * (h[i, j] + eta[i, j])
+                                    * art[i, j] - dti2 * adv)
+                                   / ((h[i, j] + etf[i, j]) * art[i, j]))
+        xmassflux, ymassflux, zwflux, ff = smol_adif_ref(
+            xmassflux, ymassflux, zwflux, ff, dt, aru, arv, dzz, fsm,
+            dti2, sw, kbm1)
+        eta = etf.copy()
+        fbmem = ff.copy()
+    # climatology-deviation horizontal diffusion (solver.f:691-726)
+    fbmc = fb - fclim
+    for k in range(kbm1):
+        for j in range(1, jm):
+            for i in range(1, im):
+                xm = 0.5 * (aam[k, i, j] + aam[k, i-1, j])
+                ym = 0.5 * (aam[k, i, j] + aam[k, i, j-1])
+                xflux[k, i, j] = (-xm * (h[i, j] + h[i-1, j]) * tprni
+                                  * (fbmc[k, i, j] - fbmc[k, i-1, j])
+                                  * dum[i, j] * (dy[i, j] + dy[i-1, j]) * 0.5
+                                  / (dx[i, j] + dx[i-1, j]))
+                yflux[k, i, j] = (-ym * (h[i, j] + h[i, j-1]) * tprni
+                                  * (fbmc[k, i, j] - fbmc[k, i, j-1])
+                                  * dvm[i, j] * (dx[i, j] + dx[i, j-1]) * 0.5
+                                  / (dy[i, j] + dy[i, j-1]))
+    for j in range(1, jm - 1):
+        for i in range(1, im - 1):
+            for k in range(kbm1):
+                ff[k, i, j] -= (dti2 * (xflux[k, i+1, j] - xflux[k, i, j]
+                                        + yflux[k, i, j+1] - yflux[k, i, j])
+                                / ((h[i, j] + etf[i, j]) * art[i, j]))
+    return ff
+
+
+def baropg_mcc_ref(rho_in, rmean, d, dt, dum, dvm, dx, dy, zz, dzz,
+                   grav, ramp, kbm1):
+    """McCalpin 4th-order baroclinic pressure gradient, solver.f:943-1159
+    (single tile: n_west = n_south = -1 edge branches; no wide halo)."""
+    kb, im, jm = rho_in.shape
+    rho = rho_in - rmean
+    # ---- x-component ----
+    drho = np.zeros((kb, im, jm))
+    rhou = np.zeros((kb, im, jm))
+    ddx = np.zeros((im, jm))
+    d4 = np.zeros((im, jm))
+    for j in range(jm):
+        for i in range(1, im):
+            for k in range(kbm1):
+                drho[k, i, j] = (rho[k, i, j] - rho[k, i-1, j]) * dum[i, j]
+                rhou[k, i, j] = 0.5 * (rho[k, i, j] + rho[k, i-1, j]) * dum[i, j]
+            ddx[i, j] = (d[i, j] - d[i-1, j]) * dum[i, j]
+            d4[i, j] = 0.5 * (d[i, j] + d[i-1, j]) * dum[i, j]
+    for j in range(jm):                       # n_west=-1: i = 3..imm1
+        for i in range(2, im - 1):
+            for k in range(kbm1):
+                drho[k, i, j] -= ((1.0 / 24.0)
+                                  * (dum[i+1, j] * (rho[k, i+1, j] - rho[k, i, j])
+                                     - 2.0 * (rho[k, i, j] - rho[k, i-1, j])
+                                     + dum[i-1, j] * (rho[k, i-1, j]
+                                                      - rho[k, i-2, j])))
+                rhou[k, i, j] += ((1.0 / 16.0)
+                                  * (dum[i+1, j] * (rho[k, i, j] - rho[k, i+1, j])
+                                     + dum[i-1, j] * (rho[k, i-1, j]
+                                                      - rho[k, i-2, j])))
+            ddx[i, j] -= ((1.0 / 24.0)
+                          * (dum[i+1, j] * (d[i+1, j] - d[i, j])
+                             - 2.0 * (d[i, j] - d[i-1, j])
+                             + dum[i-1, j] * (d[i-1, j] - d[i-2, j])))
+            d4[i, j] += ((1.0 / 16.0)
+                         * (dum[i+1, j] * (d[i, j] - d[i+1, j])
+                            + dum[i-1, j] * (d[i-1, j] - d[i-2, j])))
+    drhox = np.zeros((kb, im, jm))
+    for j in range(1, jm - 1):
+        for i in range(1, im - 1):
+            drhox[0, i, j] = grav * (-zz[0]) * d4[i, j] * drho[0, i, j]
+            for k in range(1, kbm1):
+                drhox[k, i, j] = (drhox[k-1, i, j]
+                                  + grav * 0.5 * dzz[k-1] * d4[i, j]
+                                  * (drho[k-1, i, j] + drho[k, i, j])
+                                  + grav * 0.5 * (zz[k-1] + zz[k]) * ddx[i, j]
+                                  * (rhou[k, i, j] - rhou[k-1, i, j]))
+            for k in range(kbm1):
+                drhox[k, i, j] = (0.25 * (dt[i, j] + dt[i-1, j])
+                                  * drhox[k, i, j] * dum[i, j]
+                                  * (dy[i, j] + dy[i-1, j]))
+    # ---- y-component ----
+    drho[:] = 0.0
+    rhou[:] = 0.0
+    ddx[:] = 0.0
+    d4[:] = 0.0
+    for j in range(1, jm):
+        for i in range(im):
+            for k in range(kbm1):
+                drho[k, i, j] = (rho[k, i, j] - rho[k, i, j-1]) * dvm[i, j]
+                rhou[k, i, j] = 0.5 * (rho[k, i, j] + rho[k, i, j-1]) * dvm[i, j]
+            ddx[i, j] = (d[i, j] - d[i, j-1]) * dvm[i, j]
+            d4[i, j] = 0.5 * (d[i, j] + d[i, j-1]) * dvm[i, j]
+    for j in range(2, jm - 1):                # n_south=-1: j = 3..jmm1
+        for i in range(im):
+            for k in range(kbm1):
+                drho[k, i, j] -= ((1.0 / 24.0)
+                                  * (dvm[i, j+1] * (rho[k, i, j+1] - rho[k, i, j])
+                                     - 2.0 * (rho[k, i, j] - rho[k, i, j-1])
+                                     + dvm[i, j-1] * (rho[k, i, j-1]
+                                                      - rho[k, i, j-2])))
+                rhou[k, i, j] += ((1.0 / 16.0)
+                                  * (dvm[i, j+1] * (rho[k, i, j] - rho[k, i, j+1])
+                                     + dvm[i, j-1] * (rho[k, i, j-1]
+                                                      - rho[k, i, j-2])))
+            ddx[i, j] -= ((1.0 / 24.0)
+                          * (dvm[i, j+1] * (d[i, j+1] - d[i, j])
+                             - 2.0 * (d[i, j] - d[i, j-1])
+                             + dvm[i, j-1] * (d[i, j-1] - d[i, j-2])))
+            d4[i, j] += ((1.0 / 16.0)
+                         * (dvm[i, j+1] * (d[i, j] - d[i, j+1])
+                            + dvm[i, j-1] * (d[i, j-1] - d[i, j-2])))
+    drhoy = np.zeros((kb, im, jm))
+    for j in range(1, jm - 1):
+        for i in range(1, im - 1):
+            drhoy[0, i, j] = grav * (-zz[0]) * d4[i, j] * drho[0, i, j]
+            for k in range(1, kbm1):
+                drhoy[k, i, j] = (drhoy[k-1, i, j]
+                                  + grav * 0.5 * dzz[k-1] * d4[i, j]
+                                  * (drho[k-1, i, j] + drho[k, i, j])
+                                  + grav * 0.5 * (zz[k-1] + zz[k]) * ddx[i, j]
+                                  * (rhou[k, i, j] - rhou[k-1, i, j]))
+            for k in range(kbm1):
+                drhoy[k, i, j] = (0.25 * (dt[i, j] + dt[i, j-1])
+                                  * drhoy[k, i, j] * dvm[i, j]
+                                  * (dx[i, j] + dx[i, j-1]))
+    drhox[:, 1:-1, 1:-1] *= ramp
+    drhoy[:, 1:-1, 1:-1] *= ramp
+    return drhox, drhoy
+
+
+def profv_ref(vf_in, ub, vb, km, etf, wvsurf, h, cbc, dvm,
+              dz, dzz, dti2, umol, kb):
+    """Implicit vertical v-diffusion + quadratic bottom friction,
+    solver.f:1783-1877."""
+    kbm1, kbm2 = kb - 1, kb - 2
+    _, im, jm = vb.shape
+    vf = vf_in.copy()
+    wvbot = np.zeros((im, jm))
+    for i in range(1, im - 1):
+        for j in range(1, jm - 1):
+            dh = 0.5 * (h[i, j] + etf[i, j] + h[i, j-1] + etf[i, j-1])
+            cm = np.zeros(kb)
+            for k in range(kb):
+                cm[k] = 0.5 * (km[k, i, j] + km[k, i, j-1])
+            a = np.zeros(kb)
+            c = np.zeros(kb)
+            for k in range(kbm2):
+                a[k] = -dti2 * (cm[k+1] + umol) / (dz[k] * dzz[k] * dh * dh)
+            for k in range(1, kbm1):
+                c[k] = -dti2 * (cm[k] + umol) / (dz[k] * dzz[k-1] * dh * dh)
+            ee = np.zeros(kb)
+            gg = np.zeros(kb)
+            ee[0] = a[0] / (a[0] - 1.0)
+            gg[0] = (-dti2 * wvsurf[i, j] / (-dz[0] * dh)
+                     - vf[0, i, j]) / (a[0] - 1.0)
+            for k in range(1, kbm2):
+                gg_ = 1.0 / (a[k] + c[k] * (1.0 - ee[k-1]) - 1.0)
+                ee[k] = a[k] * gg_
+                gg[k] = (c[k] * gg[k-1] - vf[k, i, j]) * gg_
+            tps = (0.5 * (cbc[i, j] + cbc[i, j-1])
+                   * np.sqrt((0.25 * (ub[kbm1-1, i, j] + ub[kbm1-1, i+1, j]
+                                      + ub[kbm1-1, i, j-1]
+                                      + ub[kbm1-1, i+1, j-1])) ** 2
+                             + vb[kbm1-1, i, j] ** 2))
+            vf[kbm1-1, i, j] = ((c[kbm1-1] * gg[kbm2-1] - vf[kbm1-1, i, j])
+                                / (tps * dti2 / (-dz[kbm1-1] * dh) - 1.0
+                                   - (ee[kbm2-1] - 1.0) * c[kbm1-1])
+                                ) * dvm[i, j]
+            for k in range(kbm2 - 1, -1, -1):
+                vf[k, i, j] = (ee[k] * vf[k+1, i, j] + gg[k]) * dvm[i, j]
+            wvbot[i, j] = -tps * vf[kbm1-1, i, j]
+    return vf, wvbot
+
+
+def realvertvl_ref(w, u, v, dt, et, etf, etb, dx, dy, zz, fsm, dti2, kbm1):
+    """Physical vertical velocity diagnostic, solver.f:2024-2067
+    (single tile: all four edge copies apply)."""
+    kb, im, jm = w.shape
+    wr = np.zeros((kb, im, jm))
+    for k in range(kbm1):
+        tps = zz[k] * dt + et
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                dxr = 2.0 / (dx[i+1, j] + dx[i, j])
+                dxl = 2.0 / (dx[i, j] + dx[i-1, j])
+                dyt = 2.0 / (dy[i, j+1] + dy[i, j])
+                dyb = 2.0 / (dy[i, j] + dy[i, j-1])
+                wr[k, i, j] = (0.5 * (w[k, i, j] + w[k+1, i, j])
+                               + 0.5 * (u[k, i+1, j] * (tps[i+1, j] - tps[i, j]) * dxr
+                                        + u[k, i, j] * (tps[i, j] - tps[i-1, j]) * dxl
+                                        + v[k, i, j+1] * (tps[i, j+1] - tps[i, j]) * dyt
+                                        + v[k, i, j] * (tps[i, j] - tps[i, j-1]) * dyb)
+                               + (1.0 + zz[k]) * (etf[i, j] - etb[i, j]) / dti2)
+    # edge copies S, N, W, E (solver.f:2057-2060)
+    wr[:, :, 0] = wr[:, :, 1]
+    wr[:, :, -1] = wr[:, :, -2]
+    wr[:, 0, :] = wr[:, 1, :]
+    wr[:, -1, :] = wr[:, -2, :]
+    for k in range(kbm1):
+        wr[k] *= fsm
+    return wr
+
+
+def profq_ref(q2f_in, q2lf_in, q2, q2b_in, q2lb_in, u, v, t, s, rho,
+              km_in, kh_in, kq_in, l_in, etf, wusurf, wvsurf, wubot, wvbot,
+              h, fsm, z, zz, dz, dzz, dti2, umol, grav, kappa,
+              tbias, sbias, rhoref, small, kb):
+    """Mellor-Yamada 2.5 closure, solver.f:1212-1538 (single tile:
+    all four edge-cosmetics branches apply).
+
+    Returns (q2f, q2lf, km, kh, kq, l, q2b, q2lb) like the framework's
+    profq: q2f/q2lf enter as the advected quantities (advq output)."""
+    kbm1, kbm2 = kb - 1, kb - 2
+    _, im, jm = q2.shape
+    a1, b1, a2, b2, c1 = 0.92, 16.6, 0.74, 10.1, 0.08
+    e1, e2 = 1.8, 1.33
+    sef = 1.0
+    cbcnst, surfl, shiw = 100.0, 2.0e5, 0.0
+
+    q2f = q2f_in.copy()
+    q2lf = q2lf_in.copy()
+    q2b = q2b_in.copy()
+    q2lb = q2lb_in.copy()
+    km = km_in.copy()
+    kh = kh_in.copy()
+    kq = kq_in.copy()
+    l = l_in.copy()
+
+    dh = h + etf
+    a = np.zeros((kb, im, jm))
+    c = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(jm):
+            for i in range(im):
+                a[k, i, j] = (-dti2 * (kq[k+1, i, j] + kq[k, i, j]
+                                       + 2.0 * umol) * 0.5
+                              / (dzz[k-1] * dz[k] * dh[i, j] * dh[i, j]))
+                c[k, i, j] = (-dti2 * (kq[k-1, i, j] + kq[k, i, j]
+                                       + 2.0 * umol) * 0.5
+                              / (dzz[k-1] * dz[k-1] * dh[i, j] * dh[i, j]))
+
+    const1 = (16.6 ** (2.0 / 3.0)) * sef
+    utau2 = np.zeros((im, jm))
+    for j in range(jm - 1):
+        for i in range(im - 1):
+            utau2[i, j] = np.sqrt(
+                (0.5 * (wusurf[i, j] + wusurf[i+1, j])) ** 2
+                + (0.5 * (wvsurf[i, j] + wvsurf[i, j+1])) ** 2)
+            q2f[kb-1, i, j] = np.sqrt(
+                (0.5 * (wubot[i, j] + wubot[i+1, j])) ** 2
+                + (0.5 * (wvbot[i, j] + wvbot[i, j+1])) ** 2) * const1
+    ee = np.zeros((kb, im, jm))
+    gg = np.zeros((kb, im, jm))
+    gg[0] = (15.8 * cbcnst) ** (2.0 / 3.0) * utau2
+    l0 = surfl * utau2 / grav
+
+    # sound speed (solver.f:1303-1319)
+    cc = np.zeros((kb, im, jm))
+    for k in range(kbm1):
+        for j in range(jm):
+            for i in range(im):
+                tp = t[k, i, j] + tbias
+                sp = s[k, i, j] + sbias
+                p = grav * rhoref * (-zz[k] * h[i, j]) * 1.0e-4
+                ccv = (1449.1 + 0.00821 * p + 4.55 * tp - 0.045 * tp ** 2
+                       + 1.34 * (sp - 35.0))
+                cc[k, i, j] = ccv / np.sqrt((1.0 - 0.01642 * p / ccv)
+                                            * (1.0 - 0.40 * p / ccv ** 2))
+
+    boygr = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(jm):
+            for i in range(im):
+                q2b[k, i, j] = abs(q2b[k, i, j])
+                q2lb[k, i, j] = abs(q2lb[k, i, j])
+                boygr[k, i, j] = (grav * (rho[k-1, i, j] - rho[k, i, j])
+                                  / (dzz[k-1] * h[i, j])
+                                  + (grav ** 2) * 2.0
+                                  / (cc[k-1, i, j] ** 2 + cc[k, i, j] ** 2))
+
+    gh = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(jm):
+            for i in range(im):
+                l[k, i, j] = abs(q2lb[k, i, j] / q2b[k, i, j])
+                if z[k] > -0.5:
+                    l[k, i, j] = max(l[k, i, j], kappa * l0[i, j])
+                gh[k, i, j] = min((l[k, i, j] ** 2) * boygr[k, i, j]
+                                  / q2b[k, i, j], 0.028)
+    l[0] = kappa * l0
+    l[kb-1] = 0.0
+    gh[0] = 0.0
+    gh[kb-1] = 0.0
+
+    prod = np.zeros((kb, im, jm))
+    for k in range(1, kbm1):
+        for j in range(1, jm - 1):
+            for i in range(1, im - 1):
+                prod[k, i, j] = (km[k, i, j] * 0.25 * sef
+                                 * ((u[k, i, j] - u[k-1, i, j]
+                                     + u[k, i+1, j] - u[k-1, i+1, j]) ** 2
+                                    + (v[k, i, j] - v[k-1, i, j]
+                                       + v[k, i, j+1] - v[k-1, i, j+1]) ** 2)
+                                 / (dzz[k-1] * dh[i, j]) ** 2
+                                 - shiw * km[k, i, j] * boygr[k, i, j])
+                prod[k, i, j] += kh[k, i, j] * boygr[k, i, j]
+
+    stf = np.ones((kb, im, jm))
+    dtef = np.sqrt(np.abs(q2b)) * stf / (b1 * l + small)
+
+    # q2 solve (solver.f:1394-1413)
+    for k in range(1, kbm1):
+        for j in range(jm):
+            for i in range(im):
+                gg_ = 1.0 / (a[k, i, j] + c[k, i, j] * (1.0 - ee[k-1, i, j])
+                             - (2.0 * dti2 * dtef[k, i, j] + 1.0))
+                ee[k, i, j] = a[k, i, j] * gg_
+                gg[k, i, j] = (-2.0 * dti2 * prod[k, i, j]
+                               + c[k, i, j] * gg[k-1, i, j]
+                               - q2f[k, i, j]) * gg_
+    for ki in range(kbm1 - 1, -1, -1):
+        q2f[ki] = ee[ki] * q2f[ki+1] + gg[ki]
+
+    # q2l solve (solver.f:1415-1455)
+    q2lf[0] = 0.0
+    q2lf[kb-1] = 0.0
+    ee[1] = 0.0
+    gg[1] = -kappa * z[1] * dh * q2[1]
+    q2lf[kb-2] = kappa * (1.0 + z[kbm1-1]) * dh * q2[kbm1-1]
+    for k in range(1, kbm1):
+        for j in range(jm):
+            for i in range(im):
+                dtef[k, i, j] *= (1.0 + e2 * ((1.0 / abs(z[k] - z[0])
+                                               + 1.0 / abs(z[k] - z[kb-1]))
+                                              * l[k, i, j]
+                                              / (dh[i, j] * kappa)) ** 2)
+    for k in range(2, kbm1):
+        for j in range(jm):
+            for i in range(im):
+                gg_ = 1.0 / (a[k, i, j] + c[k, i, j] * (1.0 - ee[k-1, i, j])
+                             - (dti2 * dtef[k, i, j] + 1.0))
+                ee[k, i, j] = a[k, i, j] * gg_
+                gg[k, i, j] = (dti2 * (-prod[k, i, j] * l[k, i, j] * e1)
+                               + c[k, i, j] * gg[k-1, i, j]
+                               - q2lf[k, i, j]) * gg_
+    for ki in range(kb - 2, 0, -1):
+        q2lf[ki] = ee[ki] * q2lf[ki+1] + gg[ki]
+
+    # rectify (solver.f:1460-1471)
+    for k in range(1, kbm1):
+        q2f[k] = np.abs(q2f[k])
+        q2lf[k] = np.abs(q2lf[k])
+
+    # stability functions + mixing coefficients (solver.f:1474-1506)
+    coef4 = 18.0 * a1 * a1 + 9.0 * a1 * a2
+    coef5 = 9.0 * a1 * a2
+    coef1 = a2 * (1.0 - 6.0 * a1 / b1 * stf)
+    coef2 = 3.0 * a2 * b2 / stf + 18.0 * a1 * a2
+    coef3 = a1 * (1.0 - 3.0 * c1 - 6.0 * a1 / b1 * stf)
+    sh = coef1 / (1.0 - coef2 * gh)
+    sm = (coef3 + sh * coef4 * gh) / (1.0 - coef5 * gh)
+    kn = l * np.sqrt(np.abs(q2))
+    kq = (kn * 0.41 * sh + kq) * 0.5
+    km = (kn * sm + km) * 0.5
+    kh = (kn * sh + kh) * 0.5
+
+    # edge cosmetics N, S, E, W (solver.f:1510-1529)
+    for arr in (km, kh, kq):
+        arr[:, :, -1] = arr[:, :, -2]
+        arr[:, :, 0] = arr[:, :, 1]
+        arr[:, -1, :] = arr[:, -2, :]
+        arr[:, 0, :] = arr[:, 1, :]
+    km = km * fsm
+    kh = kh * fsm
+    kq = kq * fsm
+    return q2f, q2lf, km, kh, kq, l, q2b, q2lb
