@@ -79,8 +79,14 @@ def seamount_case(im: int = 65, jm: int = 49, kb: int = 21,
     return cfg, grid, ics
 
 
-def seamount_model(donate: bool = True, **kw):
-    """Convenience: build a ready-to-run Model for the seamount case."""
+def seamount_model(donate: bool = False, **kw):
+    """Convenience: build a ready-to-run Model for the seamount case.
+
+    ``donate=False`` by default: whole-pytree buffer donation hangs or
+    fails to compile on the axon TPU plugin (the Model fallback can catch a
+    raised error but not a compile hang).  Within a scanned segment XLA
+    reuses the carry buffers regardless; enable donation on backends that
+    support it to halve peak HBM of the step-at-a-time path."""
     from extpom_tpu.core.model import Model
     cfg, grid, ics = seamount_case(**kw)
     return Model(grid, cfg, tb=ics["tb"], sb=ics["sb"],

@@ -140,13 +140,68 @@ class Model:
             st.tb, st.sb, st.elb, st.uab, st.vab, st.ub, st.vb)
         self.forcing_fn = forcing_fn
         self._donate = donate
-        self._step = stepper.make_step_fn(grid, cfg, donate=donate)
+        self._step = stepper.make_step_fn(cfg, donate=donate)
         self.iint = 0          # completed internal steps
         self.time0 = 0.0
+        self.mesh = None       # set by shard()
+        self._par_mode = None
         try:
             self.period = grid.inertial_period_days()
         except ValueError:
             self.period = math.inf
+
+    def shard(self, mesh, mode: str = "gspmd") -> "Model":
+        """Distribute the model over a 2-D device mesh (the distribute_mpi
+        analogue, parallel_mpi.f:34-122).
+
+        ``mode="gspmd"`` keeps the jitted global-array step and lets the
+        SPMD partitioner insert halo exchanges; ``mode="shardmap"`` swaps in
+        the explicit shard_map + ppermute path (mesh.shardmap).  Grids that
+        do not divide the mesh are padded (mesh.padding).  Works unchanged
+        under multi-process execution (call mesh.distributed.
+        init_distributed first; every process builds the same Model)."""
+        from extpom_tpu.mesh import padding, shardmap
+        from extpom_tpu.mesh.sharding import shard_pytree
+
+        px, py = mesh.shape["x"], mesh.shape["y"]
+        if self.cfg.im % px or self.cfg.jm % py:
+            padding.pad_model(self, px, py)
+        self.mesh = mesh
+        self._par_mode = mode
+        if mode == "shardmap":
+            (self.grid, self.state, self.base_forcing, self.rmean,
+             self.tclim, self.sclim) = shardmap.shard_args(
+                mesh, self.cfg, self.grid, self.state, self.base_forcing,
+                self.rmean, self.tclim, self.sclim)
+            self._step = shardmap.make_shardmap_step(
+                mesh, self.grid, self.cfg, self.base_forcing, donate=False)
+            self._donate = False
+        elif mode == "gspmd":
+            im, jm = self.cfg.im, self.cfg.jm
+            self.grid = shard_pytree(self.grid, mesh, im, jm)
+            self.state = shard_pytree(self.state, mesh, im, jm)
+            self.base_forcing = shard_pytree(self.base_forcing, mesh,
+                                             im, jm)
+            self.rmean = shard_pytree(self.rmean, mesh, im, jm)
+            self.tclim = shard_pytree(self.tclim, mesh, im, jm)
+            self.sclim = shard_pytree(self.sclim, mesh, im, jm)
+            self._step = stepper.make_step_fn(self.cfg,
+                                              donate=self._donate)
+        else:
+            raise ValueError(f"unknown parallel mode {mode!r}")
+        self._run_fn = None
+        self._plan = None
+        return self
+
+    def _shard_fc(self, fc: Forcing) -> Forcing:
+        if self.mesh is None:
+            return fc
+        from extpom_tpu.mesh import shardmap
+        from extpom_tpu.mesh.sharding import shard_pytree
+        if self._par_mode == "shardmap":
+            return shardmap.shard_args(self.mesh, self.cfg, self.grid,
+                                       self.state, fc)[2]
+        return shard_pytree(fc, self.mesh, self.cfg.im, self.cfg.jm)
 
     # -- time & ramp (advance.f:62-75) --
     @property
@@ -182,9 +237,9 @@ class Model:
                                          st.etf, st.etb)
 
     def step_once(self) -> State:
-        fc = self.forcing_at(self.iint + 1)
+        fc = self._shard_fc(self.forcing_at(self.iint + 1))
         try:
-            new = self._step(self.state, fc, self.rmean,
+            new = self._step(self.grid, self.state, fc, self.rmean,
                              self.tclim, self.sclim,
                              first=(self.iint == 0))
         except jax.errors.JaxRuntimeError:
@@ -193,28 +248,48 @@ class Model:
             # Some backends reject whole-pytree buffer donation at compile
             # time (observed on the axon TPU plugin); fall back without it.
             self._donate = False
-            self._step = stepper.make_step_fn(self.grid, self.cfg,
-                                              donate=False)
-            new = self._step(self.state, fc, self.rmean,
+            self._step = stepper.make_step_fn(self.cfg, donate=False)
+            new = self._step(self.grid, self.state, fc, self.rmean,
                              self.tclim, self.sclim,
                              first=(self.iint == 0))
         self.state = new
         self.iint += 1
         return self.state
 
+    def _device_plan(self):
+        """Staged on-device forcing series, when the forcing_fn is a
+        ForcingProvider with a record source (extpom_tpu.forcing.device)."""
+        if getattr(self, "_plan", None) is None:
+            from extpom_tpu.forcing.device import make_device_plan
+            from extpom_tpu.forcing.provider import ForcingProvider
+            plan = None
+            if isinstance(self.forcing_fn, ForcingProvider):
+                plan = make_device_plan(self.forcing_fn)
+            self._plan = (plan,)
+        return self._plan[0]
+
     def run_segment(self, n_steps: int) -> State:
-        """Fast path: run ``n_steps`` under one jitted ``lax.scan`` segment
-        (constant forcing apart from the inertial ramp).  Use for
-        production throughput / benchmarking; per-step time-varying forcing
-        should call :meth:`run` or chain short segments."""
+        """Fast path: run ``n_steps`` under one jitted ``lax.scan`` segment.
+
+        Time-varying forcing served by a ForcingProvider record source is
+        staged on device and interpolated INSIDE the scan (forcing.device);
+        any other ``forcing_fn`` must use :meth:`run` (per-step host
+        assembly).  The production throughput path."""
+        from extpom_tpu.forcing.provider import ForcingProvider
+        if (self.forcing_fn is not None
+                and not isinstance(self.forcing_fn, ForcingProvider)):
+            raise ValueError(
+                "run_segment needs a ForcingProvider-backed forcing_fn "
+                "(or none); use run() for arbitrary per-step forcing")
         if getattr(self, "_run_fn", None) is None:
             period = self.period if math.isfinite(self.period) else 1.0
             self._run_fn = stepper.make_run_fn(
-                self.grid, self.cfg, period, self.time0, donate=False)
+                self.cfg, period, self.time0, donate=False)
         fc = self.base_forcing
-        self.state = self._run_fn(self.state, fc, self.rmean, self.tclim,
-                                  self.sclim, self.iint, n_steps,
-                                  first=(self.iint == 0))
+        self.state = self._run_fn(self.grid, self.state, fc, self.rmean,
+                                  self.tclim, self.sclim, self.iint,
+                                  n_steps, first=(self.iint == 0),
+                                  plan=self._device_plan())
         self.iint += n_steps
         return self.state
 

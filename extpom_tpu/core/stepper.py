@@ -425,24 +425,32 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
 def run_steps(grid: Grid, cfg: Config, st: State, fc: Forcing,
               rmean: jnp.ndarray, tclim: jnp.ndarray, sclim: jnp.ndarray,
               iint0, n_steps: int, period_days: float,
-              time0_days: float = 0.0, first: bool = False) -> State:
+              time0_days: float = 0.0, first: bool = False,
+              plan=None) -> State:
     """Advance ``n_steps`` internal steps under one ``lax.scan``.
 
     The production execution path: amortizes per-step dispatch (one device
     launch for the whole segment — the reference's `do iint=1,iend` loop,
-    pom.f:16-22).  Forcing is held constant across the segment except the
-    inertial ramp, which is recomputed per step (get_time, advance.f:62-75);
-    time-varying forcing runs segment-by-segment from the host.
+    pom.f:16-22).  The inertial ramp is recomputed per step (get_time,
+    advance.f:62-75).  With a staged :class:`extpom_tpu.forcing.device.
+    DevicePlan`, time-varying forcing (wind/heat/lateral-BC series) is
+    interpolated on device INSIDE the scan; otherwise ``fc`` is held
+    constant across the segment.
     """
     dt_ = cfg.jnp_dtype
 
     def one(st, i, is_first):
+        t_days = cfg.dti * i.astype(dt_) / 86400.0 + time0_days
         if cfg.lramp:
-            t_days = cfg.dti * i.astype(dt_) / 86400.0 + time0_days
             ramp = jnp.minimum(t_days / period_days, 1.0).astype(dt_)
         else:
             ramp = jnp.asarray(1.0, dt_)
-        return step(grid, cfg, st, fc.replace(ramp=ramp),
+        if plan is not None:
+            from extpom_tpu.forcing import device as fdev
+            fc_i = fdev.forcing_at(plan, fc, cfg, grid.dz, t_days)
+        else:
+            fc_i = fc
+        return step(grid, cfg, st, fc_i.replace(ramp=ramp),
                     rmean, tclim, sclim, first=is_first)
 
     if first:
@@ -461,30 +469,38 @@ def run_steps(grid: Grid, cfg: Config, st: State, fc: Forcing,
     return st
 
 
-def make_run_fn(grid: Grid, cfg: Config, period_days: float,
+def make_run_fn(cfg: Config, period_days: float,
                 time0_days: float = 0.0, donate: bool = True):
-    """Jitted segment runner: (state, fc, rmean, tclim, sclim, iint0,
-    n_steps static, first static) -> state."""
+    """Jitted segment runner: (grid, state, fc, rmean, tclim, sclim, iint0,
+    n_steps static, first static, plan) -> state.
+
+    ``grid`` is an argument (not a closure) so sharded — possibly
+    non-addressable multi-process — grids never become jit constants."""
     kw = dict(static_argnames=("n_steps", "first"))
     if donate:
-        kw["donate_argnums"] = (0,)
+        kw["donate_argnums"] = (1,)
 
     @functools.partial(jax.jit, **kw)
-    def _run(st, fc, rmean, tclim, sclim, iint0, n_steps, first=False):
+    def _run(grid, st, fc, rmean, tclim, sclim, iint0, n_steps,
+             first=False, plan=None):
         return run_steps(grid, cfg, st, fc, rmean, tclim, sclim, iint0,
-                         n_steps, period_days, time0_days, first=first)
+                         n_steps, period_days, time0_days, first=first,
+                         plan=plan)
 
     return _run
 
 
-def make_step_fn(grid: Grid, cfg: Config, donate: bool = True):
-    """Build jitted step functions (regular and first-step variants)."""
+def make_step_fn(cfg: Config, donate: bool = True):
+    """Build the jitted step function
+    ``(grid, st, fc, rmean, tclim, sclim, first=...) -> st``.
+
+    ``grid`` is an argument (not a closure) — see :func:`make_run_fn`."""
     kw = dict(static_argnames=("first",))
     if donate:
-        kw["donate_argnums"] = (0,)
+        kw["donate_argnums"] = (1,)
 
     @functools.partial(jax.jit, **kw)
-    def _step(st, fc, rmean, tclim, sclim, first=False):
+    def _step(grid, st, fc, rmean, tclim, sclim, first=False):
         return step(grid, cfg, st, fc, rmean, tclim, sclim, first=first)
 
     return _step

@@ -1,0 +1,115 @@
+"""Device-side forcing interpolation for scanned segments.
+
+The host-side :class:`extpom_tpu.forcing.provider.ForcingProvider` assembles
+one Forcing per step — one Python round trip per internal step, which
+defeats the ``lax.scan`` segment fast path for any run with time-varying
+forcing (the reference's wind/heat/lateral_bc cadences,
+bounds_forcing.f:593-1020).
+
+A :class:`DevicePlan` instead stages the whole record series on device as
+``(nrec, ...)`` stacks; the cadence arithmetic + bracketing-record gather +
+linear time interpolation (bounds_forcing.f:841-865) runs INSIDE the jitted
+step, so a multi-day forced run is one device dispatch per segment.  The
+reference pays a blocking collective file read every record boundary
+mid-loop (SURVEY §3.4); here the data is resident before the loop starts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.state import Forcing
+from extpom_tpu.forcing import provider as prov
+
+
+@dataclasses.dataclass(frozen=True)
+class DevicePlan:
+    """Staged forcing series: per-variable record stacks + cadences."""
+    names: Tuple[str, ...]        # static
+    cadences: Tuple[float, ...]   # static, days/record
+    offsets: Tuple[float, ...]    # static, time offset in days (cont_bry)
+    interp: Tuple[bool, ...]      # static; False = piecewise-constant
+    stacks: Tuple[jnp.ndarray, ...]
+
+
+jax.tree_util.register_dataclass(
+    DevicePlan, data_fields=["stacks"],
+    meta_fields=["names", "cadences", "offsets", "interp"])
+
+
+def make_device_plan(p: "prov.ForcingProvider",
+                     dtype=None) -> Optional[DevicePlan]:
+    """Stage every series of a ForcingProvider's source on device."""
+    if p.source is None:
+        return None
+    dtype = dtype or p.cfg.jnp_dtype
+    names, cadences, offsets, interp, stacks = [], [], [], [], []
+    src_names = set(p.source.names())
+
+    def add(v, cad, off=0.0, do_interp=True):
+        if v not in src_names:
+            return
+        nrec = p.source.nrec(v)
+        stack = np.stack([np.asarray(p.source.read(v, n))
+                          for n in range(nrec)])
+        names.append(v)
+        cadences.append(float(cad))
+        offsets.append(float(off))
+        interp.append(do_interp)
+        stacks.append(jnp.asarray(stack, dtype))
+
+    for v in prov.WIND_VARS + prov.HEAT_VARS:
+        add(v, p.tsurf_cad)
+    for v in prov.WATER_VARS:
+        add(v, p.twater_cad)
+    for v in prov.SURF_VARS:
+        add(v, p.tsurf_cad, do_interp=False)   # bounds_forcing.f:963-983
+    for v in prov.RESTORE_VARS:
+        add(v, p.trst_cad)
+    toff = p.cont_bry_offset * p.tbc
+    for v in prov.BRY_2D + prov.BRY_3D:
+        add(v, p.tbc, off=toff)
+    if not names:
+        return None
+    return DevicePlan(tuple(names), tuple(cadences), tuple(offsets),
+                      tuple(interp), tuple(stacks))
+
+
+def forcing_at(plan: DevicePlan, base: Forcing, cfg: Config,
+               dz: jnp.ndarray, t_days) -> Forcing:
+    """Traced per-step Forcing from the staged series (the double-buffer +
+    linear-interp pattern of bounds_forcing.f:841-865, on device)."""
+    upd = {}
+    for name, cad, off, do_i, stack in zip(plan.names, plan.cadences,
+                                           plan.offsets, plan.interp,
+                                           plan.stacks):
+        nrec = stack.shape[0]
+        x = (t_days + off) / cad
+        n = jnp.floor(x).astype(jnp.int32)
+        nb = jnp.clip(n, 0, nrec - 1)
+        if do_i:
+            nf = jnp.clip(n + 1, 0, nrec - 1)
+            frac = (x - n.astype(x.dtype)).astype(stack.dtype)
+            b = lax.dynamic_index_in_dim(stack, nb, 0, keepdims=False)
+            f = lax.dynamic_index_in_dim(stack, nf, 0, keepdims=False)
+            upd[name] = (1.0 - frac) * b + frac * f
+        else:
+            upd[name] = lax.dynamic_index_in_dim(stack, nb, 0,
+                                                 keepdims=False)
+
+    # depth-integrate boundary velocity profiles to barotropic values
+    # (bounds_forcing.f:626-635, 747-756)
+    dzc = dz[:cfg.kbm1, None]
+    for side in prov.BRY_SIDES:
+        un = f"ub{side}" if side in ("w", "e") else f"vb{side}"
+        tn = f"uab{side}" if side in ("w", "e") else f"vab{side}"
+        if un in upd:
+            upd[tn] = jnp.sum(upd[un][:cfg.kbm1] * dzc, axis=0)
+    return base.replace(**upd)

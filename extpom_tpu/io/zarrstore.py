@@ -54,6 +54,14 @@ def _spec(path: str, create: bool = False,
 
 def write_array(root: str, name: str, arr,
                 chunks: Optional[tuple] = None) -> None:
+    """Write one array.  A multi-process-sharded ``jax.Array`` (not fully
+    addressable) is written cooperatively: every process writes only the
+    shards it owns — the per-rank hyperslab puts of the reference's
+    collective PnetCDF writes (io_pnetcdf.F:272-275, 2183-2187)."""
+    import jax
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        _write_array_multihost(root, name, arr, chunks)
+        return
     a = np.asarray(arr)
     if chunks is None:
         # chunk 2-D/3-D fields by horizontal tiles (<= 256 per axis)
@@ -65,6 +73,33 @@ def write_array(root: str, name: str, arr,
                      shape=a.shape, dtype=a.dtype, chunks=chunks)
     arr_ts = ts.open(spec, **kw).result()
     arr_ts[...] = a
+
+
+def _write_array_multihost(root: str, name: str, arr,
+                           chunks: Optional[tuple]) -> None:
+    """Cooperative write of a globally-sharded array: process 0 creates the
+    store, all processes barrier, then each writes its addressable shards
+    (replica 0 only, so replicated shards are written once)."""
+    import jax
+    from extpom_tpu.mesh.distributed import process_barrier
+    shape, dtype = arr.shape, arr.dtype
+    if chunks is None:
+        chunks = tuple(min(s, 256) for s in shape) if len(shape) else (1,)
+    path = os.path.join(root, name)
+    if jax.process_index() == 0:
+        spec, kw = _spec(path, create=True, shape=shape, dtype=dtype,
+                         chunks=chunks)
+        ts.open(spec, **kw).result()
+    process_barrier(f"zarr-create:{name}")
+    spec, _ = _spec(path)
+    h = ts.open(spec).result()
+    futures = []
+    for shard in arr.addressable_shards:
+        if shard.replica_id == 0:
+            futures.append(h[shard.index].write(np.asarray(shard.data)))
+    for f in futures:
+        f.result()
+    process_barrier(f"zarr-written:{name}")
 
 
 def read_array(root: str, name: str) -> np.ndarray:

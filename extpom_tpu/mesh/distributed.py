@@ -45,8 +45,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     if num_processes <= 1 or coordinator_address is None:
         return
-    if jax.process_count() > 1:          # already initialized
-        return
+    # NB: probing jax.process_count() here would itself initialize the XLA
+    # backend; use the distributed client state instead
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return                           # already initialized
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

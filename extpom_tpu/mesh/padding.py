@@ -115,5 +115,6 @@ def pad_model(m, px: int, py: int) -> None:
         if a.ndim >= 2 and a.shape[-2:] == (cfg.im, cfg.jm):
             setattr(m, name, _pad_hv(a, imp, jmp, 0.0))
     m.cfg = new_cfg
-    m._step = stepper.make_step_fn(m.grid, new_cfg, donate=m._donate)
+    m._step = stepper.make_step_fn(new_cfg, donate=m._donate)
     m._run_fn = None
+    m._plan = None

@@ -65,11 +65,25 @@ def _spec_for(a: jax.Array, im: int, jm: int, mesh: Mesh) -> P:
 
 
 def shard_pytree(tree, mesh: Mesh, im: int, jm: int):
-    """Device-put every array leaf with its horizontal sharding."""
+    """Device-put every array leaf with its horizontal sharding.
+
+    Under multi-process execution the host data is replicated (every
+    process builds the same global arrays) and each process materializes
+    only its addressable shards (distribute_mpi analogue)."""
+    multi = jax.process_count() > 1
+
     def put(a):
         a = jax.numpy.asarray(a)
-        return jax.device_put(
-            a, NamedSharding(mesh, _spec_for(a, im, jm, mesh)))
+        if (isinstance(a, jax.Array)
+                and isinstance(a.sharding, NamedSharding)
+                and a.sharding.mesh == mesh):
+            return a       # already laid out over this mesh
+        ns = NamedSharding(mesh, _spec_for(a, im, jm, mesh))
+        if multi:
+            host = np.asarray(a)
+            return jax.make_array_from_callback(
+                host.shape, ns, lambda idx: host[idx])
+        return jax.device_put(a, ns)
     return jax.tree_util.tree_map(put, tree)
 
 

@@ -137,17 +137,30 @@ def shard_args(mesh: Mesh, cfg: Config, grid: Grid, st: State, fc: Forcing,
     im, jm = cfg.im, cfg.jm
     px, py = mesh.shape["x"], mesh.shape["y"]
 
+    import numpy as np
+    multi = jax.process_count() > 1
+
+    def put_leaf(a, spec):
+        if (isinstance(a, jax.Array)
+                and isinstance(a.sharding, NamedSharding)
+                and a.sharding.mesh == mesh):
+            return a       # already laid out over this mesh
+        ns = NamedSharding(mesh, spec)
+        if multi:
+            host = np.asarray(a)
+            return jax.make_array_from_callback(
+                host.shape, ns, lambda idx: host[idx])
+        return jax.device_put(a, ns)
+
     def put_tree(obj):
         if dataclasses.is_dataclass(obj):
             spec = _spec_tree(obj, im, jm, px, py)
             return type(obj)(**{
-                f.name: jax.device_put(
-                    getattr(obj, f.name),
-                    NamedSharding(mesh, getattr(spec, f.name)))
+                f.name: put_leaf(getattr(obj, f.name),
+                                 getattr(spec, f.name))
                 for f in dataclasses.fields(obj)})
         a = jnp.asarray(obj)
-        return jax.device_put(
-            a, NamedSharding(mesh, _leaf_spec("", a, im, jm, px, py)))
+        return put_leaf(a, _leaf_spec("", a, im, jm, px, py))
 
     out = [put_tree(grid), put_tree(st), put_tree(fc)]
     out.extend(put_tree(e) for e in extra)

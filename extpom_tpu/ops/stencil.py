@@ -264,15 +264,32 @@ def set_i(base: jnp.ndarray, i: int, val,
     """Set row ``i`` (axis -2) to ``val`` (full-width along j, broadcastable
     over leading axes) — the masked-write form of
     ``base.at[..., i, j].set``.  ``j``/``k`` optionally restrict the
-    transverse range (k applies to 3-D bases only)."""
+    transverse range (k applies to 3-D bases only).
+
+    ``val`` may be a FULL-SHAPE expression (the row committed is row ``i``
+    of it).  Outside shard_map local mode the expression is sliced to that
+    one row first, so XLA dead-code-eliminates the rest of the full-field
+    computation and the edge write costs O(edge), not O(volume)."""
+    ctx = _ctx()
     region = (i, j) if base.ndim == 2 else (k, i, j)
+    val = jnp.asarray(val, base.dtype)
+    if val.ndim == base.ndim and not (ctx is not None and ctx.local):
+        n = ctx.im if ctx is not None else base.shape[-2]
+        # broadcast-shaped expressions (size-1 i axis) read their only row
+        val = val[..., (i % n) if val.shape[-2] != 1 else 0, :]
     return put(base, _expand(base, val, -2, i), *region)
 
 
 def set_j(base: jnp.ndarray, j: int, val,
           i=slice(None), k=slice(None)) -> jnp.ndarray:
-    """Set column ``j`` (axis -1) to ``val``."""
+    """Set column ``j`` (axis -1) to ``val`` (see :func:`set_i` on
+    full-shape expressions)."""
+    ctx = _ctx()
     region = (i, j) if base.ndim == 2 else (k, i, j)
+    val = jnp.asarray(val, base.dtype)
+    if val.ndim == base.ndim and not (ctx is not None and ctx.local):
+        n = ctx.jm if ctx is not None else base.shape[-1]
+        val = val[..., :, (j % n) if val.shape[-1] != 1 else 0]
     return put(base, _expand(base, val, -1, j), *region)
 
 

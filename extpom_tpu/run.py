@@ -19,7 +19,13 @@ Config schema (all keys optional unless noted)::
       "config": {"mode": 3, "dte": 6.0, "days": 1.0, ...},
       "out_dir": "out",
       "nread_rst": 0, "read_rst_path": "out/run.rst.0003",
-      "cont_bry": 0
+      "cont_bry": 0,
+      # -- parallel execution (distribute_mpi analogue) --
+      "mesh": {"px": 2, "py": 4, "mode": "gspmd" | "shardmap"},
+      # multi-process: every process runs the same config; process_id /
+      # num_processes default to JAX_PROCESS_ID / JAX_NUM_PROCESSES env
+      "distributed": {"coordinator": "host:1234",
+                      "num_processes": 2, "process_id": 0}
     }
 """
 
@@ -95,6 +101,13 @@ def build_model(conf: dict):
     if conf.get("nread_rst"):
         st, iint, time0 = zio.read_restart(conf["read_rst_path"], cfg)
         m.state, m.iint, m.time0 = st, iint, time0
+
+    # mesh decomposition (distribute_mpi analogue, parallel_mpi.f:34-122)
+    if "mesh" in conf:
+        from extpom_tpu.mesh.sharding import make_mesh
+        mk = conf["mesh"]
+        mesh = make_mesh(int(mk["px"]), int(mk["py"]))
+        m.shard(mesh, mode=mk.get("mode", "gspmd"))
     return m
 
 
@@ -109,21 +122,36 @@ def main(argv=None):
     with open(argv[0]) as f:
         conf = json.load(f)
 
+    # multi-process bootstrap (initialize_mpi analogue) — must run before
+    # any device use
+    if "distributed" in conf:
+        from extpom_tpu.mesh.distributed import init_distributed
+        dk = conf["distributed"]
+        init_distributed(dk.get("coordinator"), dk.get("num_processes"),
+                         dk.get("process_id"))
+    import jax
+    master = jax.process_index() == 0
+
     m = build_model(conf)
     cfg = m.cfg
     run = conf.get("run_name", "run")
     out_dir = conf.get("out_dir", "out")
     os.makedirs(out_dir, exist_ok=True)
 
-    # config echo (read_input's summary print, initialize.f:201-241)
-    print(f"run: {run}")
+    # config echo on the master process only (read_input's summary print,
+    # initialize.f:201-241; master_task prints, parallel_mpi.f:16)
+    _print = print if master else (lambda *a, **k: None)
+    _print(f"run: {run}")
     for k in ("mode", "nadv", "nitera", "sw", "npg", "dte", "isplit",
               "days", "prtd1", "smoth", "horcon", "ntp", "nbct", "nbcs"):
-        print(f"  {k} = {getattr(cfg, k)}")
-    print(f"  dti = {cfg.dti}  iend = {cfg.iend}  iprint = {cfg.iprint}")
+        _print(f"  {k} = {getattr(cfg, k)}")
+    _print(f"  dti = {cfg.dti}  iend = {cfg.iend}  iprint = {cfg.iprint}")
+    if jax.process_count() > 1:
+        _print(f"  processes = {jax.process_count()}  "
+               f"devices = {len(jax.devices())}")
     from extpom_tpu.diag.stats import cfl_min
-    print(f"  CFL advisory: min dt_ext = {float(cfl_min(m.grid, cfg)):.2f} s"
-          f" (dte = {cfg.dte} s)")
+    _print(f"  CFL advisory: min dt_ext = {float(cfl_min(m.grid, cfg)):.2f} s"
+           f" (dte = {cfg.dte} s)")
 
     n_out = 0
     t0 = _time.time()
@@ -137,14 +165,13 @@ def main(argv=None):
             vamax, (iloc, jloc) = diag_stats.check_velocity(cfg, m.state.va)
             if not np.isfinite(float(vamax)) or float(vamax) > cfg.vmaxl:
                 i, j = int(iloc), int(jloc)
-                print("POM terminated with error: velocity condition "
-                      f"violated, vamax={float(vamax):.3e} at (i,j)="
-                      f"({i},{j}) lon/lat=({float(m.grid.east_e[i,j]):.4f},"
-                      f"{float(m.grid.north_e[i,j]):.4f})")
+                _print("POM terminated with error: velocity condition "
+                       f"violated, vamax={float(vamax):.3e} at (i,j)="
+                       f"({i},{j}), iint={m.iint}")
                 return 1
-            print(f"time = {m.time_days:9.4f}  iint = {m.iint:8d}  "
-                  f"vtot = {s['vtot']:.7e}  eaver = {s['eaver']:.7e}  "
-                  f"taver = {s['taver']:.7e}  saver = {s['saver']:.7e}")
+            _print(f"time = {m.time_days:9.4f}  iint = {m.iint:8d}  "
+                   f"vtot = {s['vtot']:.7e}  eaver = {s['eaver']:.7e}  "
+                   f"taver = {s['taver']:.7e}  saver = {s['saver']:.7e}")
             n_out += 1
             extra = {"wr": m.compute_wr()} if cfg.calc_wr else None
             zio.write_output(

@@ -60,3 +60,22 @@ def test_tidal_channel_runs():
     # and salinity must remain uniform (no spurious sources)
     s = np.asarray(m.state.s)[:m.cfg.kbm1, :, 1:-1]
     np.testing.assert_allclose(s, 15.0, atol=1e-6)
+
+
+def test_device_plan_scan_matches_host_path():
+    """Staged device-side forcing interpolation inside lax.scan
+    (forcing.device) reproduces the per-step host provider path on the
+    tidal channel (bounds_forcing.f:841-865 cadence logic)."""
+    import numpy as np
+    from extpom_tpu.cases.channel import channel_model
+
+    N = 10
+    m1 = channel_model(im=33, jm=17, kb=7, dtype="float64")
+    m1.run(n_steps=N)
+    m2 = channel_model(im=33, jm=17, kb=7, dtype="float64")
+    m2.run_segment(N)
+    for name in ("el", "ua", "va", "u", "t", "s"):
+        a = np.asarray(getattr(m1.state, name))
+        b = np.asarray(getattr(m2.state, name))
+        tol = 1e-12 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
