@@ -89,6 +89,39 @@ def ext_loop_model_bytes(im, jm, isplit, pallas: bool):
     return per_pass * (1 if pallas else isplit)
 
 
+def measure_mode2(im, jm, isplit=30, n=20, pallas="auto", kb=3):
+    """External-2-D-mode-only step (mode=2): the BASELINE roofline gate is
+    specifically on these stencils.  Returns (s/step, model bytes/step,
+    HLO bytes/step)."""
+    from extpom_tpu.cases.seamount import seamount_model
+    from extpom_tpu.core import stepper
+
+    m = seamount_model(im=im, jm=jm, kb=kb, mode=2, isplit=isplit,
+                       donate=False, pallas_ext=pallas, lramp=False)
+    run = stepper.make_run_fn(m.cfg, 1.0, donate=False)
+    lowered = run.lower(m.grid, m.state, m.base_forcing, m.rmean, m.tclim,
+                        m.sclim, 0, n, first=False, plan=None)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        hlo_bytes = float(ca.get("bytes accessed", 0.0)) / n
+    except Exception:
+        hlo_bytes = 0.0
+    st = compiled(m.grid, m.state, m.base_forcing, m.rmean, m.tclim,
+                  m.sclim, jnp.asarray(0), plan=None)
+    jax.block_until_ready(st.el)
+    t0 = time.perf_counter()
+    st = compiled(m.grid, st, m.base_forcing, m.rmean, m.tclim, m.sclim,
+                  jnp.asarray(n), plan=None)
+    jax.block_until_ready(st.el)
+    dt = (time.perf_counter() - t0) / n
+    is_pallas = (pallas == "on"
+                 or (pallas == "auto" and im * jm * 4 * 34 <= 11 * 2**20))
+    model_bytes = ext_loop_model_bytes(im, jm, isplit, is_pallas)
+    return dt, model_bytes, hlo_bytes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="256,512")
@@ -100,24 +133,46 @@ def main():
 
     peak, kind = device_peak()
     print(f"device: {kind}; HBM peak assumed {peak/1e9:.0f} GB/s")
-    print()
-    print("| grid | kb | s/step | HLO GB/step | achieved GB/s | %peak |"
-          " Mpt-steps/s |")
-    print("|---|---|---|---|---|---|---|")
     rows = []
-    for s in args.sizes.split(","):
-        im = jm = int(s)
-        kb = args.kb
-        dt, bstep, fstep = measure_step(im, jm, kb)
-        bw = bstep / dt
-        gps = im * jm * kb / dt
-        print(f"| {im}x{jm}x{kb} | {kb} | {dt*1e3:.2f} ms | "
-              f"{bstep/1e9:.2f} | {bw/1e9:.0f} | {100*bw/peak:.0f}% | "
-              f"{gps/1e6:.0f} |", flush=True)
-        rows.append(dict(im=im, jm=jm, kb=kb, s_per_step=dt,
-                         hlo_bytes_per_step=bstep, achieved_Bps=bw,
-                         pct_peak=100 * bw / peak,
-                         grid_pt_steps_per_s=gps))
+    if args.mode2:
+        print()
+        print("external (2-D) mode only, isplit="
+              f"{args.isplit} (the BASELINE external-stencil gate)")
+        print()
+        print("| grid | pallas | s/step | model GB/step | HLO GB/step |"
+              " model GB/s | %peak(model) | %peak(HLO) |")
+        print("|---|---|---|---|---|---|---|---|")
+        for s in args.sizes.split(","):
+            im = jm = int(s)
+            for pal in ("off", "auto"):
+                dt, mb, hb = measure_mode2(im, jm, args.isplit,
+                                           pallas=pal)
+                print(f"| {im}x{jm} | {pal} | {dt*1e3:.2f} ms | "
+                      f"{mb/1e9:.3f} | {hb/1e9:.3f} | {mb/dt/1e9:.0f} | "
+                      f"{100*mb/dt/peak:.0f}% | {100*hb/dt/peak:.0f}% |",
+                      flush=True)
+                rows.append(dict(im=im, jm=jm, pallas=pal, s_per_step=dt,
+                                 model_bytes=mb, hlo_bytes=hb,
+                                 pct_peak_model=100 * mb / dt / peak,
+                                 pct_peak_hlo=100 * hb / dt / peak))
+    else:
+        print()
+        print("| grid | kb | s/step | HLO GB/step | achieved GB/s | %peak |"
+              " Mpt-steps/s |")
+        print("|---|---|---|---|---|---|---|")
+        for s in args.sizes.split(","):
+            im = jm = int(s)
+            kb = args.kb
+            dt, bstep, fstep = measure_step(im, jm, kb)
+            bw = bstep / dt
+            gps = im * jm * kb / dt
+            print(f"| {im}x{jm}x{kb} | {kb} | {dt*1e3:.2f} ms | "
+                  f"{bstep/1e9:.2f} | {bw/1e9:.0f} | {100*bw/peak:.0f}% | "
+                  f"{gps/1e6:.0f} |", flush=True)
+            rows.append(dict(im=im, jm=jm, kb=kb, s_per_step=dt,
+                             hlo_bytes_per_step=bstep, achieved_Bps=bw,
+                             pct_peak=100 * bw / peak,
+                             grid_pt_steps_per_s=gps))
     print()
     print(json.dumps(rows))
 
