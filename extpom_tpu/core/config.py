@@ -119,6 +119,19 @@ class Config:
     # fits VMEM; "on" forces it (interpreted off-TPU: for tests); "off"
     # always uses the XLA fori_loop.
     pallas_ext: str = "auto"
+    # Chunked grid-blocked external loop (ops/extblock.py): runs
+    # ext_chunk substeps per HBM pass over overlapping halo windows —
+    # the traffic reduction of the Pallas kernel at sizes beyond VMEM.
+    # "auto" enables it when the grid is at least 2x2 blocks (and the
+    # Pallas whole-grid kernel is not active); "on"/"off" force.
+    ext_block: str = "off"
+    ext_chunk: int = 5         # substeps per HBM pass (C)
+    ext_block_size: int = 256  # committed window interior (B)
+    ext_halo_sub: int = 3      # halo cells consumed per substep (rho).
+                               # The substep's true carry-stencil radius is
+                               # 2 (flux->elf radius 1; advave/uaf chains
+                               # radius 2), verified numerically for both
+                               # bc schemes; 3 leaves one cell of margin.
 
     # ------------------------------------------------------------------
     # derived quantities (read_input, initialize.f:177-191)

@@ -403,11 +403,16 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
     aux = (adx2d, ady2d, drx2d, dry2d, aam2d)
 
     from extpom_tpu.pallas import extloop
+    from extpom_tpu.ops import extblock
     if extloop.use_pallas_ext(cfg):
         # whole loop VMEM-resident: one HBM read+write of the 2-D state
         carry = extloop.run_external_loop(
             grid, cfg, carry0, fc, aux,
             interpret=jax.default_backend() != "tpu")
+    elif extblock.use_blocked_ext(cfg):
+        # chunked halo windows: ext_chunk substeps per HBM pass
+        carry = extblock.run_external_loop_blocked(grid, cfg, carry0, fc,
+                                                   aux)
     else:
         def body(i, c):
             return mode_external_substep(grid, cfg, c, i, fc, aux)

@@ -62,10 +62,20 @@ class DomainCtx:
     py: int = 1
     off_i: Any = 0               # global row offset of this block (traced)
     off_j: Any = 0
+    windowed: bool = False       # arrays are overlapping halo WINDOWS of
+                                 # the global domain (ops.extblock): region
+                                 # masks use global indices, shifts stay
+                                 # local (progressive halo invalidation is
+                                 # accounted for by the window trim)
 
     @property
     def local(self) -> bool:
         return self.axis_x is not None or self.axis_y is not None
+
+    @property
+    def block(self) -> bool:
+        """Arrays are partial views of the domain (local or windowed)."""
+        return self.local or self.windowed
 
 
 _tls = threading.local()
@@ -234,9 +244,10 @@ def region_mask(shape: Tuple[int, ...], region) -> jnp.ndarray:
                 n_act, off, nsh = ctx.jm, ctx.off_j, ctx.py
             lo, hi = _axis_mask(n_act, r)
             # all cells selected only if the region covers the whole active
-            # extent and the axis carries no padding (local: px*n == im)
-            if lo == 0 and hi == n_act and n * (nsh if ctx.local else 1) \
-                    == n_act:
+            # extent and the axis carries no padding (local: px*n == im);
+            # windowed blocks never skip (the mask restricts to the domain)
+            if (not ctx.windowed and lo == 0 and hi == n_act
+                    and n * (nsh if ctx.local else 1) == n_act):
                 continue
         else:
             lo, hi = _axis_mask(n, r)
@@ -273,7 +284,7 @@ def set_i(base: jnp.ndarray, i: int, val,
     ctx = _ctx()
     region = (i, j) if base.ndim == 2 else (k, i, j)
     val = jnp.asarray(val, base.dtype)
-    if val.ndim == base.ndim and not (ctx is not None and ctx.local):
+    if val.ndim == base.ndim and not (ctx is not None and ctx.block):
         n = ctx.im if ctx is not None else base.shape[-2]
         # broadcast-shaped expressions (size-1 i axis) read their only row
         val = val[..., (i % n) if val.shape[-2] != 1 else 0, :]
@@ -287,7 +298,7 @@ def set_j(base: jnp.ndarray, j: int, val,
     ctx = _ctx()
     region = (i, j) if base.ndim == 2 else (k, i, j)
     val = jnp.asarray(val, base.dtype)
-    if val.ndim == base.ndim and not (ctx is not None and ctx.local):
+    if val.ndim == base.ndim and not (ctx is not None and ctx.block):
         n = ctx.jm if ctx is not None else base.shape[-1]
         val = val[..., :, (j % n) if val.shape[-1] != 1 else 0]
     return put(base, _expand(base, val, -1, j), *region)
@@ -322,9 +333,9 @@ def row(a: jnp.ndarray, i: int) -> jnp.ndarray:
     available in shard_map local mode (a global-row read is a collective) —
     express edge logic through :func:`sft` + :func:`set_i` instead."""
     ctx = _ctx()
-    if ctx is not None and ctx.local:
-        raise RuntimeError("row() reads a global row; not supported in "
-                           "shard_map local mode — use sft/set_i forms")
+    if ctx is not None and ctx.block:
+        raise RuntimeError("row() reads a global row; not supported on "
+                           "local/windowed blocks — use sft/set_i forms")
     n = ctx.im if ctx is not None else a.shape[-2]
     return a[..., i % n, :]
 
@@ -332,9 +343,9 @@ def row(a: jnp.ndarray, i: int) -> jnp.ndarray:
 def col(a: jnp.ndarray, j: int) -> jnp.ndarray:
     """``a[..., :, j]`` with a static python-int index (see :func:`row`)."""
     ctx = _ctx()
-    if ctx is not None and ctx.local:
-        raise RuntimeError("col() reads a global column; not supported in "
-                           "shard_map local mode — use sft/set_j forms")
+    if ctx is not None and ctx.block:
+        raise RuntimeError("col() reads a global column; not supported "
+                           "on local/windowed blocks — use sft/set_j forms")
     n = ctx.jm if ctx is not None else a.shape[-1]
     return a[..., :, j % n]
 

@@ -22,17 +22,41 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(name, f, *args, n=20):
-    r = f(*args)
-    jax.block_until_ready(r)
-    r = f(*args)
+def timeit(name, f, *args, n=50):
+    """Time f on-device: run n dependent iterations inside ONE dispatch
+    (each iteration's input is perturbed by the previous output's first
+    element so XLA cannot hoist the loop-invariant computation), minus the
+    measured dispatch floor."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(args):
+        def body(i, carry):
+            acc, args = carry
+            r = f(*jax.tree_util.tree_map(
+                lambda a: a + acc.astype(a.dtype) * jnp.asarray(1e-30,
+                                                                a.dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                          jnp.floating)
+                else a, args))
+            # reduce over EVERY output leaf so nothing is dead-code
+            # eliminated from the timed body
+            acc = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(r):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(
+                        leaf.dtype, jnp.floating):
+                    acc = acc + jnp.sum(leaf).astype(jnp.float32)
+            return (acc, args)
+        return lax.fori_loop(0, n, body, (jnp.float32(0), args))[0]
+
+    r = loop(args)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    for _ in range(n):
-        r = f(*args)
+    r = loop(args)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:30s} {dt*1e3:8.3f} ms")
+    print(f"{name:30s} {dt*1e3:8.3f} ms", flush=True)
     return dt
 
 
