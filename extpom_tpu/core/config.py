@@ -124,6 +124,12 @@ class Config:
     # the traffic reduction of the Pallas kernel at sizes beyond VMEM.
     # "auto" enables it when the grid is at least 2x2 blocks (and the
     # Pallas whole-grid kernel is not active); "on"/"off" force.
+    # Fused Pallas Thomas solver for the vertical implicit solves
+    # (pallas/tridiag.py): one Mosaic kernel per solve with the elimination
+    # stacks VMEM-resident, replacing the unrolled XLA k-recurrences
+    # (hundreds of ~3us launch-bound kernels per step on the device trace).
+    # "auto" uses it on a single TPU; "on" forces (interpreted off-TPU).
+    pallas_tridiag: str = "auto"
     ext_block: str = "off"
     ext_chunk: int = 5         # substeps per HBM pass (C)
     ext_block_size: int = 256  # committed window interior (B)

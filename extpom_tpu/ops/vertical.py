@@ -72,6 +72,37 @@ def _backward(ee, gg, f_last, k_last, unroll: int = 1):
     return jnp.concatenate([fs, f_last[None]], axis=0)
 
 
+def _solve(cfg: Config, a, c, den, rhs, ee0, gg0, cl, rb, db, mask,
+           k0: int, k_last: int):
+    """One full vertical Thomas solve: forward elimination from the
+    (ee0, gg0) seeds at k0-1, the closed-form bottom row
+
+        f[k_last] = (cl gg[k_last-1] + rb) / (cl (1 - ee[k_last-1]) + db)
+                    * mask,
+
+    and back substitution to k=0 (each level * mask).  Returns the
+    (kb, im, jm) stack with rows > k_last zeroed.
+
+    Dispatches to the fused VMEM-resident Pallas kernel
+    (pallas.tridiag.thomas) on a single TPU; otherwise the XLA scan pair.
+    """
+    from extpom_tpu.pallas import tridiag
+    if tridiag.use_pallas_tridiag(cfg):
+        return tridiag.thomas(cfg, a, c, den, rhs, ee0, gg0, cl, rb, db,
+                              mask, k0, k_last,
+                              interpret=jax.default_backend() != "tpu")
+    kb = a.shape[0]
+    ee, gg = _forward(a, c, den, rhs, ee0, gg0, k0, cfg.scan_unroll)
+    f_last = ((cl * gg[k_last - 1] + rb)
+              / (cl * (1.0 - ee[k_last - 1]) + db))
+    f = _backward(ee, gg, f_last, k_last, cfg.scan_unroll) * mask
+    if k_last + 1 < kb:
+        f = jnp.concatenate(
+            [f, jnp.zeros((kb - k_last - 1,) + f.shape[1:], f.dtype)],
+            axis=0)
+    return f
+
+
 def proft(grid: Grid, cfg: Config,
           f: jnp.ndarray, wfsurf: jnp.ndarray, fsurf: jnp.ndarray, nbc: int,
           kh: jnp.ndarray, etf: jnp.ndarray,
@@ -118,24 +149,24 @@ def proft(grid: Grid, cfg: Config,
     else:
         raise ValueError(f"invalid nbc {nbc}")
 
-    # forward elimination k=1..kbm2-1 (solver.f:1650-1661)
+    # forward elimination k=1..kbm2-1 + bottom adiabatic BC at k=kbm1
+    # + back substitution (solver.f:1650-1680), as one fused solve
     den = jnp.ones_like(f)
     rhs = -f + cfg.dti2 * (rad - sfk(rad, 1)) / (dh * dz)
-    ee, gg = _forward(a, c, den, rhs, ee0, gg0, 1, cfg.scan_unroll)
-
-    # bottom adiabatic BC at k=kbm1 (solver.f:1664-1671)
-    f_bot = ((c[kbm2] * gg[kbm2 - 1] - f[kbm2]
-              + cfg.dti2 * (rad[kbm2] - rad[kbm1]) / (dh * dz[kbm2]))
-             / (c[kbm2] * (1.0 - ee[kbm2 - 1]) - 1.0))
-
-    fout = _backward(ee, gg, f_bot, kbm2, cfg.scan_unroll)
-    return jnp.concatenate([fout, f[kbm1:]], axis=0)
+    rb = (-f[kbm2]
+          + cfg.dti2 * (rad[kbm2] - rad[kbm1]) / (dh * dz[kbm2]))
+    sol = _solve(cfg, a, c, den, rhs, ee0, gg0,
+                 cl=c[kbm2], rb=rb, db=-jnp.ones_like(h),
+                 mask=jnp.ones_like(h), k0=1, k_last=kbm2)
+    return jnp.concatenate([sol[:kbm1], f[kbm1:]], axis=0)
 
 
-def _profuv_common(cfg: Config, grid: Grid, cm: jnp.ndarray, dh: jnp.ndarray,
-                   wsurf: jnp.ndarray, fin: jnp.ndarray):
-    """Shared a/c/ee0/gg0 + forward sweep of profu/profv
-    (solver.f:1712-1748 / 1810-1845)."""
+def _profuv_solve(cfg: Config, grid: Grid, cm: jnp.ndarray, dh: jnp.ndarray,
+                  wsurf: jnp.ndarray, fin: jnp.ndarray, ub_bot, vb_bot,
+                  cbc2, mask):
+    """Shared full solve of profu/profv (solver.f:1712-1770 / 1810-1870):
+    coefficients, surface BC, implicit quadratic bottom friction and back
+    substitution.  Returns (solution stack rows 0..kbm2, tps)."""
     dz, dzz = grid.dz3, grid.dzz3
     kbm1, kbm2 = cfg.kbm1, cfg.kbm2
     z3 = jnp.zeros_like(fin)
@@ -146,9 +177,13 @@ def _profuv_common(cfg: Config, grid: Grid, cm: jnp.ndarray, dh: jnp.ndarray,
                            / (dz * sfk(dzz, -1) * dh * dh)), *s_[1:kbm1])
     ee0 = a[0] / (a[0] - 1.0)
     gg0 = (-cfg.dti2 * wsurf / (-dz[0] * dh) - fin[0]) / (a[0] - 1.0)
-    den = jnp.ones_like(fin)
-    ee, gg = _forward(a, c, den, -fin, ee0, gg0, 1, cfg.scan_unroll)
-    return a, c, ee, gg
+    # implicit quadratic bottom friction (solver.f:1750-1761)
+    tps = cbc2 * jnp.sqrt(ub_bot ** 2 + vb_bot ** 2)
+    db = tps * cfg.dti2 / (-grid.dz[kbm2] * dh) - 1.0
+    sol = _solve(cfg, a, c, jnp.ones_like(fin), -fin, ee0, gg0,
+                 cl=c[kbm2], rb=-fin[kbm2], db=db, mask=mask,
+                 k0=1, k_last=kbm2)
+    return sol, tps
 
 
 def profu(grid: Grid, cfg: Config,
@@ -167,21 +202,15 @@ def profu(grid: Grid, cfg: Config,
     cm = jnp.zeros_like(km)
     cm = put(cm, (0.5 * (km + sft(km, -1, 0))), *s_[:, 1:, 1:])
 
-    a, c, ee, gg = _profuv_common(cfg, grid, cm, dh, wusurf, uf)
-
-    # implicit quadratic bottom friction (solver.f:1750-1761)
-    tps = (0.5 * (grid.cbc + sft(grid.cbc, -1, 0))
-           * jnp.sqrt(ub[kbm1 - 1] ** 2
-                      + (0.25 * (vb + sft(vb, 0, 1) + sft(vb, -1, 0)
-                                 + sft(vb, -1, 1)))[kbm1 - 1] ** 2))
-    uf_bot = ((c[kbm1 - 1] * gg[kbm2 - 1] - uf[kbm1 - 1])
-              / (tps * cfg.dti2 / (-grid.dz3[kbm1 - 1] * dh) - 1.0
-                 - (ee[kbm2 - 1] - 1.0) * c[kbm1 - 1])) * grid.dum
-
-    fout = _backward(ee, gg, uf_bot, kbm1 - 1, cfg.scan_unroll) * grid.dum
+    sol, tps = _profuv_solve(
+        cfg, grid, cm, dh, wusurf, uf,
+        ub_bot=ub[kbm1 - 1],
+        vb_bot=(0.25 * (vb + sft(vb, 0, 1) + sft(vb, -1, 0)
+                        + sft(vb, -1, 1)))[kbm1 - 1],
+        cbc2=0.5 * (grid.cbc + sft(grid.cbc, -1, 0)), mask=grid.dum)
     # bottom row and back substitution are interior-only in the reference
     # (solver.f:1750-1770); edge columns keep the incoming values
-    uf = put(uf, jnp.concatenate([fout, uf[kbm1:]], axis=0),
+    uf = put(uf, jnp.concatenate([sol[:kbm1], uf[kbm1:]], axis=0),
              *s_[:kbm1, 1:-1, 1:-1])
 
     wubot = put(jnp.zeros_like(h), -tps * uf[kbm1 - 1],
@@ -203,18 +232,13 @@ def profv(grid: Grid, cfg: Config,
     cm = jnp.zeros_like(km)
     cm = put(cm, (0.5 * (km + sft(km, 0, -1))), *s_[:, 1:, 1:])
 
-    a, c, ee, gg = _profuv_common(cfg, grid, cm, dh, wvsurf, vf)
-
-    tps = (0.5 * (grid.cbc + sft(grid.cbc, 0, -1))
-           * jnp.sqrt((0.25 * (ub + sft(ub, 1, 0) + sft(ub, 0, -1)
-                               + sft(ub, 1, -1)))[kbm1 - 1] ** 2
-                      + vb[kbm1 - 1] ** 2))
-    vf_bot = ((c[kbm1 - 1] * gg[kbm2 - 1] - vf[kbm1 - 1])
-              / (tps * cfg.dti2 / (-grid.dz3[kbm1 - 1] * dh) - 1.0
-                 - (ee[kbm2 - 1] - 1.0) * c[kbm1 - 1])) * grid.dvm
-
-    fout = _backward(ee, gg, vf_bot, kbm1 - 1, cfg.scan_unroll) * grid.dvm
-    vf = put(vf, jnp.concatenate([fout, vf[kbm1:]], axis=0),
+    sol, tps = _profuv_solve(
+        cfg, grid, cm, dh, wvsurf, vf,
+        ub_bot=(0.25 * (ub + sft(ub, 1, 0) + sft(ub, 0, -1)
+                        + sft(ub, 1, -1)))[kbm1 - 1],
+        vb_bot=vb[kbm1 - 1],
+        cbc2=0.5 * (grid.cbc + sft(grid.cbc, 0, -1)), mask=grid.dvm)
+    vf = put(vf, jnp.concatenate([sol[:kbm1], vf[kbm1:]], axis=0),
              *s_[:kbm1, 1:-1, 1:-1])
 
     wvbot = put(jnp.zeros_like(h), -tps * vf[kbm1 - 1],
@@ -319,8 +343,10 @@ def profq(grid: Grid, cfg: Config,
     # ---- q2 solve (solver.f:1394-1413) ----
     den = 2.0 * cfg.dti2 * dtef + 1.0
     rhs = -2.0 * cfg.dti2 * prod - q2f
-    ee, gg = _forward(a, c, den, rhs, ee0, gg0, 1, cfg.scan_unroll)
-    q2f = _backward(ee, gg, q2f[kb - 1], kb - 1, cfg.scan_unroll)
+    ones2 = jnp.ones_like(h)
+    q2f = _solve(cfg, a, c, den, rhs, ee0, gg0,
+                 cl=jnp.zeros_like(h), rb=q2f[kb - 1], db=ones2,
+                 mask=ones2, k0=1, k_last=kb - 1)
 
     # ---- q2l solve (solver.f:1415-1455) ----
     q2lf = set_k(set_k(q2lf, 0, 0.0), kb - 1, 0.0)
@@ -340,9 +366,10 @@ def profq(grid: Grid, cfg: Config,
     dtef2 = put(z3, (dtef * wallfac), *s_[K2])
     den2 = cfg.dti2 * dtef2 + 1.0
     rhs2 = cfg.dti2 * (-prod * l * e1) - q2lf
-    ee_l, gg_l = _forward(a, c, den2, rhs2, ee1, gg1, 2, cfg.scan_unroll)
     # back substitution down to k=1 (solver.f:1448-1455); k=0 stays 0
-    q2l_low = _backward(ee_l, gg_l, q2lf[kb - 1], kb - 1, cfg.scan_unroll)
+    q2l_low = _solve(cfg, a, c, den2, rhs2, ee1, gg1,
+                     cl=jnp.zeros_like(h), rb=q2lf[kb - 1], db=ones2,
+                     mask=ones2, k0=2, k_last=kb - 1)
     q2lf = put(q2lf, q2l_low, *s_[1:kb - 1])
 
     # rectify (solver.f:1460-1471)
