@@ -359,36 +359,43 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
         return _step(grid, cfg, st, fc, rmean, tclim, sclim, first)
 
 
+def lateral_terms(grid: Grid, cfg: Config, st: State, fc: Forcing,
+                  rmean: jnp.ndarray):
+    """Lateral viscosity + 3-D advection/pressure terms
+    (lateral_viscosity, advance.f:96-141) -> (aam, advx, advy, drhox,
+    drhoy); Nones for mode 2."""
+    if cfg.mode == 2:
+        return st.aam, None, None, None, None
+    dt = grid.h + st.et
+    advx, advy = momentum.advct(grid, cfg, st.u, st.v, st.ub, st.vb,
+                                st.aam, dt)
+    if cfg.npg == 1:
+        drhox, drhoy = pressure.baropg(grid, cfg, st.rho, rmean, dt,
+                                       fc.ramp)
+    else:
+        drhox, drhoy = pressure.baropg_mcc(grid, cfg, st.rho, rmean,
+                                           grid.h + st.el, dt, fc.ramp)
+    dx, dy, u, v = grid.dx, grid.dy, st.u, st.v
+    aam_new = (cfg.horcon * dx * dy
+               * jnp.sqrt(((sft(u, 1, 0) - u) / dx) ** 2
+                          + ((sft(v, 0, 1) - v) / dy) ** 2
+                          + 0.5 * (0.25 * (sft(u, 0, 1) + sft(u, 1, 1)
+                                           - sft(u, 0, -1) - sft(u, 1, -1))
+                                   / dy
+                                   + 0.25 * (sft(v, 1, 0) + sft(v, 1, 1)
+                                             - sft(v, -1, 0)
+                                             - sft(v, -1, 1))
+                                   / dx) ** 2))
+    aam = put(st.aam, aam_new, slice(0, cfg.kbm1),
+              slice(1, -1), slice(1, -1))
+    return aam, advx, advy, drhox, drhoy
+
+
 def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
           rmean: jnp.ndarray, tclim: jnp.ndarray, sclim: jnp.ndarray,
           first: bool = False) -> State:
     # lateral viscosity + 3-D advection/pressure terms (advance.f:21)
-    if cfg.mode != 2:
-        dt = grid.h + st.et
-        advx, advy = momentum.advct(grid, cfg, st.u, st.v, st.ub, st.vb,
-                                    st.aam, dt)
-        if cfg.npg == 1:
-            drhox, drhoy = pressure.baropg(grid, cfg, st.rho, rmean, dt,
-                                           fc.ramp)
-        else:
-            drhox, drhoy = pressure.baropg_mcc(grid, cfg, st.rho, rmean,
-                                               grid.h + st.el, dt, fc.ramp)
-        dx, dy, u, v = grid.dx, grid.dy, st.u, st.v
-        aam_new = (cfg.horcon * dx * dy
-                   * jnp.sqrt(((sft(u, 1, 0) - u) / dx) ** 2
-                              + ((sft(v, 0, 1) - v) / dy) ** 2
-                              + 0.5 * (0.25 * (sft(u, 0, 1) + sft(u, 1, 1)
-                                               - sft(u, 0, -1) - sft(u, 1, -1))
-                                       / dy
-                                       + 0.25 * (sft(v, 1, 0) + sft(v, 1, 1)
-                                                 - sft(v, -1, 0)
-                                                 - sft(v, -1, 1))
-                                       / dx) ** 2))
-        aam = put(st.aam, aam_new, slice(0, cfg.kbm1),
-                  slice(1, -1), slice(1, -1))
-    else:
-        aam = st.aam
-        advx = advy = drhox = drhoy = None
+    aam, advx, advy, drhox, drhoy = lateral_terms(grid, cfg, st, fc, rmean)
 
     # vertical averages for the external mode (advance.f:24)
     (adx2d, ady2d, drx2d, dry2d, aam2d, advua, advva, wubot, wvbot,

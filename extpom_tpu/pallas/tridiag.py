@@ -71,11 +71,11 @@ def _kernel(k0: int, k_last: int, kb: int, *refs):
 
     # seeds; scratch rows below the seed stay zero (read by the final
     # back-substitution rows, which callers mask/overwrite)
+    ee = ee0_ref[0]
+    gg = gg0_ref[0]
     for k in range(k0 - 1):
-        ee_scr[k] = jnp.zeros_like(ee0_ref[:])
-        gg_scr[k] = jnp.zeros_like(gg0_ref[:])
-    ee = ee0_ref[:]
-    gg = gg0_ref[:]
+        ee_scr[k] = jnp.zeros_like(ee)
+        gg_scr[k] = jnp.zeros_like(gg)
     ee_scr[k0 - 1] = ee
     gg_scr[k0 - 1] = gg
 
@@ -88,9 +88,9 @@ def _kernel(k0: int, k_last: int, kb: int, *refs):
         gg_scr[k] = gg
 
     # bottom boundary row (closed form, see module docstring)
-    mask = mask_ref[:]
-    f = ((cl_ref[:] * gg_scr[k_last - 1] + rb_ref[:])
-         / (cl_ref[:] * (1.0 - ee_scr[k_last - 1]) + db_ref[:])) * mask
+    mask = mask_ref[0]
+    f = ((cl_ref[0] * gg_scr[k_last - 1] + rb_ref[0])
+         / (cl_ref[0] * (1.0 - ee_scr[k_last - 1]) + db_ref[0])) * mask
     out_ref[k_last] = f
 
     # back substitution (solver.f:1673-1680 pattern)
@@ -103,43 +103,46 @@ def _kernel(k0: int, k_last: int, kb: int, *refs):
 
 def thomas(cfg: Config, a, c, den, rhs, ee0, gg0, cl, rb, db, mask,
            k0: int, k_last: int, interpret: bool = False,
-           block_i: int = 32):
+           block_n: int = 8 * 1024):
     """Solve the vertical tridiagonal system fused in VMEM.
 
-    3-D operands are (kb, im, jm); 2-D operands (im, jm).  Returns the
-    (kb, im, jm) solution with rows > k_last zeroed (callers append their
-    pass-through layers).
+    3-D operands are (kb, im, jm); 2-D operands (im, jm).  The solve is
+    pointwise in the horizontal, so (i, j) is flattened and blocked in
+    lane-aligned chunks of ``block_n`` columns — VMEM use is independent
+    of the grid size (7 live fields x kb x block_n x 4 B ~ 7 MB at
+    kb=31).  Returns the (kb, im, jm) solution with rows > k_last zeroed
+    (callers append their pass-through layers).
     """
     kb, im, jm = a.shape
     dt_ = a.dtype
-    to2 = lambda x: jnp.broadcast_to(jnp.asarray(x, dt_), (im, jm))
-    a, c, den, rhs = (jnp.asarray(x, dt_) for x in (a, c, den, rhs))
+    n = im * jm
+    to2 = lambda x: jnp.broadcast_to(jnp.asarray(x, dt_),
+                                     (im, jm)).reshape(1, n)
+    a, c, den, rhs = (jnp.asarray(x, dt_).reshape(kb, n)
+                      for x in (a, c, den, rhs))
     ee0, gg0, cl, rb, db, mask = (to2(x) for x in
                                   (ee0, gg0, cl, rb, db, mask))
 
-    bi = min(block_i, im)
-    im_p = -(-im // bi) * bi
-    if im_p != im:
-        pad3 = ((0, 0), (0, im_p - im), (0, 0))
-        pad2 = ((0, im_p - im), (0, 0))
+    bn = min(block_n, -(-n // 128) * 128)
+    n_p = -(-n // bn) * bn
+    if n_p != n:
+        pad3 = ((0, 0), (0, n_p - n))
         a, c, den, rhs = (jnp.pad(x, pad3) for x in (a, c, den, rhs))
-        ee0, gg0, cl, rb, mask = (jnp.pad(x, pad2) for x in
+        ee0, gg0, cl, rb, mask = (jnp.pad(x, pad3) for x in
                                   (ee0, gg0, cl, rb, mask))
-        db = jnp.pad(db, pad2, constant_values=1.0)   # keep divisor nonzero
+        db = jnp.pad(db, pad3, constant_values=1.0)  # keep divisor nonzero
 
-    s3 = pl.BlockSpec((kb, bi, jm), lambda i: (0, i, 0))
-    s2 = pl.BlockSpec((bi, jm), lambda i: (i, 0))
+    s3 = pl.BlockSpec((kb, bn), lambda i: (0, i))
+    s2 = pl.BlockSpec((1, bn), lambda i: (0, i))
     kernel = functools.partial(_kernel, k0, k_last, kb)
     out = pl.pallas_call(
         kernel,
-        grid=(im_p // bi,),
+        grid=(n_p // bn,),
         in_specs=[s3, s3, s3, s3, s2, s2, s2, s2, s2, s2],
         out_specs=s3,
-        out_shape=jax.ShapeDtypeStruct((kb, im_p, jm), dt_),
-        scratch_shapes=[pltpu.VMEM((kb, bi, jm), dt_),
-                        pltpu.VMEM((kb, bi, jm), dt_)]
-        if (_HAVE_PLTPU and not interpret) else
-        [pltpu.VMEM((kb, bi, jm), dt_), pltpu.VMEM((kb, bi, jm), dt_)],
+        out_shape=jax.ShapeDtypeStruct((kb, n_p), dt_),
+        scratch_shapes=[pltpu.VMEM((kb, bn), dt_),
+                        pltpu.VMEM((kb, bn), dt_)],
         interpret=interpret,
     )(a, c, den, rhs, ee0, gg0, cl, rb, db, mask)
-    return out[:, :im, :]
+    return out[:, :n].reshape(kb, im, jm)

@@ -1112,3 +1112,301 @@ def profq_ref(q2f_in, q2lf_in, q2, q2b_in, q2lb_in, u, v, t, s, rho,
     kh = kh * fsm
     kq = kq * fsm
     return q2f, q2lf, km, kh, kq, l, q2b, q2lb
+
+
+# ---------------------------------------------------------------------------
+# boundary-condition oracles (single tile: all four sides physical)
+# ---------------------------------------------------------------------------
+
+def bcond_ts_ref(uf_in, vf_in, t, s, u, v, w, dt, fc, dx, dy, zz, fsm,
+                 dti, kbm1):
+    """bcond idx=4: T/S advective open boundary (bounds_forcing.f:151-242).
+    fc: dict with tbe/tbw/tbs/tbn, sbe/... each (kb, side-length)."""
+    kb, im, jm = t.shape
+    uf = uf_in.copy()
+    vf = vf_in.copy()
+    for k in range(kbm1):
+        for j in range(jm):
+            # east
+            u1 = 2.0 * u[k, im-1, j] * dti / (dx[im-1, j] + dx[im-2, j])
+            if u1 <= 0.0:
+                uf[k, im-1, j] = t[k, im-1, j] - u1 * (fc["tbe"][k, j]
+                                                       - t[k, im-1, j])
+                vf[k, im-1, j] = s[k, im-1, j] - u1 * (fc["sbe"][k, j]
+                                                       - s[k, im-1, j])
+            else:
+                uf[k, im-1, j] = t[k, im-1, j] - u1 * (t[k, im-1, j]
+                                                       - t[k, im-2, j])
+                vf[k, im-1, j] = s[k, im-1, j] - u1 * (s[k, im-1, j]
+                                                       - s[k, im-2, j])
+                if k != 0 and k != kbm1 - 1:
+                    wm = (0.5 * (w[k, im-2, j] + w[k+1, im-2, j]) * dti
+                          / ((zz[k-1] - zz[k+1]) * dt[im-2, j]))
+                    uf[k, im-1, j] -= wm * (t[k-1, im-2, j]
+                                            - t[k+1, im-2, j])
+                    vf[k, im-1, j] -= wm * (s[k-1, im-2, j]
+                                            - s[k+1, im-2, j])
+            # west
+            u1 = 2.0 * u[k, 1, j] * dti / (dx[0, j] + dx[1, j])
+            if u1 >= 0.0:
+                uf[k, 0, j] = t[k, 0, j] - u1 * (t[k, 0, j]
+                                                 - fc["tbw"][k, j])
+                vf[k, 0, j] = s[k, 0, j] - u1 * (s[k, 0, j]
+                                                 - fc["sbw"][k, j])
+            else:
+                uf[k, 0, j] = t[k, 0, j] - u1 * (t[k, 1, j] - t[k, 0, j])
+                vf[k, 0, j] = s[k, 0, j] - u1 * (s[k, 1, j] - s[k, 0, j])
+                if k != 0 and k != kbm1 - 1:
+                    wm = (0.5 * (w[k, 1, j] + w[k+1, 1, j]) * dti
+                          / ((zz[k-1] - zz[k+1]) * dt[1, j]))
+                    uf[k, 0, j] -= wm * (t[k-1, 1, j] - t[k+1, 1, j])
+                    vf[k, 0, j] -= wm * (s[k-1, 1, j] - s[k+1, 1, j])
+        for i in range(im):
+            # south
+            u1 = 2.0 * v[k, i, 1] * dti / (dy[i, 0] + dy[i, 1])
+            if u1 >= 0.0:
+                uf[k, i, 0] = t[k, i, 0] - u1 * (t[k, i, 0]
+                                                 - fc["tbs"][k, i])
+                vf[k, i, 0] = s[k, i, 0] - u1 * (s[k, i, 0]
+                                                 - fc["sbs"][k, i])
+            else:
+                uf[k, i, 0] = t[k, i, 0] - u1 * (t[k, i, 1] - t[k, i, 0])
+                vf[k, i, 0] = s[k, i, 0] - u1 * (s[k, i, 1] - s[k, i, 0])
+                if k != 0 and k != kbm1 - 1:
+                    wm = (0.5 * (w[k, i, 1] + w[k+1, i, 1]) * dti
+                          / ((zz[k-1] - zz[k+1]) * dt[i, 1]))
+                    uf[k, i, 0] -= wm * (t[k-1, i, 1] - t[k+1, i, 1])
+                    vf[k, i, 0] -= wm * (s[k-1, i, 1] - s[k+1, i, 1])
+            # north
+            u1 = 2.0 * v[k, i, jm-1] * dti / (dy[i, jm-1] + dy[i, jm-2])
+            if u1 <= 0.0:
+                uf[k, i, jm-1] = t[k, i, jm-1] - u1 * (fc["tbn"][k, i]
+                                                       - t[k, i, jm-1])
+                vf[k, i, jm-1] = s[k, i, jm-1] - u1 * (fc["sbn"][k, i]
+                                                       - s[k, i, jm-1])
+            else:
+                uf[k, i, jm-1] = t[k, i, jm-1] - u1 * (t[k, i, jm-1]
+                                                       - t[k, i, jm-2])
+                vf[k, i, jm-1] = s[k, i, jm-1] - u1 * (s[k, i, jm-1]
+                                                       - s[k, i, jm-2])
+                if k != 0 and k != kbm1 - 1:
+                    wm = (0.5 * (w[k, i, jm-2] + w[k+1, i, jm-2]) * dti
+                          / ((zz[k-1] - zz[k+1]) * dt[i, jm-2]))
+                    uf[k, i, jm-1] -= wm * (t[k-1, i, jm-2]
+                                            - t[k+1, i, jm-2])
+                    vf[k, i, jm-1] -= wm * (s[k-1, i, jm-2]
+                                            - s[k+1, i, jm-2])
+    for k in range(kbm1):
+        uf[k] *= fsm
+        vf[k] *= fsm
+    return uf, vf
+
+
+def bcond_turb_ref(uf_in, vf_in, q2, q2l, u, v, dx, dy, fsm, dti, small):
+    """bcond idx=6: q2/q2l upstream boundary (bounds_forcing.f:257-325)."""
+    kb, im, jm = q2.shape
+    uf = uf_in.copy()
+    vf = vf_in.copy()
+    for k in range(kb):
+        for j in range(jm):
+            u1 = 2.0 * u[k, 1, j] * dti / (dx[0, j] + dx[1, j])
+            if u1 >= 0.0:
+                uf[k, 0, j] = q2[k, 0, j] - u1 * (q2[k, 0, j] - small)
+                vf[k, 0, j] = q2l[k, 0, j] - u1 * (q2l[k, 0, j] - small)
+            else:
+                uf[k, 0, j] = q2[k, 0, j] - u1 * (q2[k, 1, j]
+                                                  - q2[k, 0, j])
+                vf[k, 0, j] = q2l[k, 0, j] - u1 * (q2l[k, 1, j]
+                                                   - q2l[k, 0, j])
+            u1 = 2.0 * u[k, im-1, j] * dti / (dx[im-1, j] + dx[im-2, j])
+            if u1 <= 0.0:
+                uf[k, im-1, j] = q2[k, im-1, j] - u1 * (small
+                                                        - q2[k, im-1, j])
+                vf[k, im-1, j] = q2l[k, im-1, j] - u1 * (small
+                                                         - q2l[k, im-1, j])
+            else:
+                uf[k, im-1, j] = q2[k, im-1, j] - u1 * (q2[k, im-1, j]
+                                                        - q2[k, im-2, j])
+                vf[k, im-1, j] = q2l[k, im-1, j] - u1 * (q2l[k, im-1, j]
+                                                         - q2l[k, im-2, j])
+        for i in range(im):
+            u1 = 2.0 * v[k, i, 1] * dti / (dy[i, 0] + dy[i, 1])
+            if u1 >= 0.0:
+                uf[k, i, 0] = q2[k, i, 0] - u1 * (q2[k, i, 0] - small)
+                vf[k, i, 0] = q2l[k, i, 0] - u1 * (q2l[k, i, 0] - small)
+            else:
+                uf[k, i, 0] = q2[k, i, 0] - u1 * (q2[k, i, 1]
+                                                  - q2[k, i, 0])
+                vf[k, i, 0] = q2l[k, i, 0] - u1 * (q2l[k, i, 1]
+                                                   - q2l[k, i, 0])
+            u1 = 2.0 * v[k, i, jm-1] * dti / (dy[i, jm-1] + dy[i, jm-2])
+            if u1 <= 0.0:
+                uf[k, i, jm-1] = q2[k, i, jm-1] - u1 * (small
+                                                        - q2[k, i, jm-1])
+                vf[k, i, jm-1] = q2l[k, i, jm-1] - u1 * (small
+                                                         - q2l[k, i, jm-1])
+            else:
+                uf[k, i, jm-1] = q2[k, i, jm-1] - u1 * (q2[k, i, jm-1]
+                                                        - q2[k, i, jm-2])
+                vf[k, i, jm-1] = q2l[k, i, jm-1] - u1 * (q2l[k, i, jm-1]
+                                                         - q2l[k, i, jm-2])
+    uf = uf * fsm + 1.0e-10
+    vf = vf * fsm + 1.0e-10
+    return uf, vf
+
+
+def bcondorl_vel3d_ref(uf_in, vf_in, u, ub, v, vb, dum, dvm, kbm1):
+    """bcondorl idx=3: Orlanski internal velocity
+    (bounds_forcing.f:418-487)."""
+    kb, im, jm = u.shape
+    uf = uf_in.copy()
+    vf = vf_in.copy()
+
+    def cl_of(ff, fb, fi):
+        denom = ff + fb - 2.0 * fi
+        if denom == 0.0:
+            denom = 0.01
+        return min(max((fb - ff) / denom, 0.0), 1.0)
+
+    for k in range(kbm1):
+        for j in range(1, jm - 1):
+            cl = cl_of(uf[k, im-2, j], ub[k, im-2, j], u[k, im-3, j])
+            uf[k, im-1, j] = (ub[k, im-1, j] * (1.0 - cl)
+                              + 2.0 * cl * u[k, im-2, j]) / (1.0 + cl)
+            vf[k, im-1, j] = 0.0
+            cl = cl_of(uf[k, 2, j], ub[k, 2, j], u[k, 3, j])
+            uf[k, 1, j] = (ub[k, 1, j] * (1.0 - cl)
+                           + 2.0 * cl * u[k, 2, j]) / (1.0 + cl)
+            uf[k, 0, j] = uf[k, 1, j]
+            vf[k, 0, j] = 0.0
+        for i in range(1, im - 1):
+            cl = cl_of(vf[k, i, 2], vb[k, i, 2], v[k, i, 3])
+            vf[k, i, 1] = (vb[k, i, 1] * (1.0 - cl)
+                           + 2.0 * cl * v[k, i, 2]) / (1.0 + cl)
+            vf[k, i, 0] = vf[k, i, 1]
+            uf[k, i, 0] = 0.0
+            cl = cl_of(vf[k, i, jm-2], vb[k, i, jm-2], v[k, i, jm-3])
+            vf[k, i, jm-1] = (vb[k, i, jm-1] * (1.0 - cl)
+                              + 2.0 * cl * v[k, i, jm-2]) / (1.0 + cl)
+            uf[k, i, jm-1] = 0.0
+    for k in range(kbm1):
+        uf[k] *= dum
+        vf[k] *= dvm
+    return uf, vf
+
+
+def mode_internal_ref(st, carry, aux, fc, g, cfg):
+    """Full internal (3-D) mode oracle, advance.f:356-537, composing the
+    per-kernel oracles with the reference's glue (depth-mean adjustment,
+    Asselin filters with depth-mean correction, time-level rotations) for
+    the bc_scheme='extpom' mix (bcond 4,6 + bcondorl 3,5).
+
+    st/carry/aux/fc: dicts of numpy arrays; g: dict of grid arrays;
+    cfg: object with the scalar constants.  Returns the updated state
+    dict (same keys as st plus rotated levels).
+    """
+    kb = cfg.kb
+    kbm1 = cfg.kbm1
+    dz = g["dz"]
+    h = g["h"]
+    dt = h + st["et"]
+
+    u, ub = st["u"].copy(), st["ub"].copy()
+    v, vb = st["v"].copy(), st["vb"].copy()
+    w = st["w"].copy()
+    t, tb = st["t"].copy(), st["tb"].copy()
+    s, sb = st["s"].copy(), st["sb"].copy()
+    q2, q2b = st["q2"].copy(), st["q2b"].copy()
+    q2l, q2lb = st["q2l"].copy(), st["q2lb"].copy()
+    km, kh, kq, l = (st[n].copy() for n in ("km", "kh", "kq", "l"))
+    rho = st["rho"].copy()
+    etf = carry["etf"]
+    aam = aux["aam"]
+
+    # depth-mean adjustment (advance.f:364-393)
+    tps = (u[:kbm1] * dz[:kbm1, None, None]).sum(0)
+    un = (u - tps) + (st["utb"] + carry["utf"]) / (
+        dt + np.roll(dt, 1, axis=0))
+    u[:kbm1, 1:, :] = un[:kbm1, 1:, :]
+    tps = (v[:kbm1] * dz[:kbm1, None, None]).sum(0)
+    vn = (v - tps) + (st["vtb"] + carry["vtf"]) / (
+        dt + np.roll(dt, 1, axis=1))
+    v[:kbm1, :, 1:] = vn[:kbm1, :, 1:]
+
+    # w from continuity + idx5 mask (advance.f:396-398)
+    w = vertvl_ref(w, u, v, dt, etf, st["etb"], st["vfluxb"],
+                   fc["vflux"], g["dx"], g["dy"], dz, cfg.dti2, kbm1)
+    for k in range(kbm1):
+        w[k] *= g["fsm"]
+
+    # turbulence (advance.f:406-421)
+    q2f = advq_ref(q2b, q2, u, v, w, aam, dt, st["etb"], etf, h,
+                   g["dum"], g["dvm"], g["dx"], g["dy"], g["art"], dz,
+                   cfg.dti2, kbm1)
+    q2lf = advq_ref(q2lb, q2l, u, v, w, aam, dt, st["etb"], etf, h,
+                    g["dum"], g["dvm"], g["dx"], g["dy"], g["art"], dz,
+                    cfg.dti2, kbm1)
+    (q2f, q2lf, km, kh, kq, l, q2b, q2lb) = profq_ref(
+        q2f, q2lf, q2, q2b, q2lb, u, v, t, s, rho, km, kh, kq, l, etf,
+        fc["wusurf"], fc["wvsurf"], carry["wubot"], carry["wvbot"],
+        h, g["fsm"], g["z"], g["zz"], dz, g["dzz"], cfg.dti2, cfg.umol,
+        cfg.grav, cfg.kappa, cfg.tbias, cfg.sbias, cfg.rhoref, cfg.small,
+        kb)
+    q2f, q2lf = bcond_turb_ref(q2f, q2lf, q2, q2l, u, v, g["dx"],
+                               g["dy"], g["fsm"], cfg.dti, cfg.small)
+    q2 = q2 + 0.5 * cfg.smoth * (q2f + q2b - 2.0 * q2)
+    q2l = q2l + 0.5 * cfg.smoth * (q2lf + q2lb - 2.0 * q2l)
+    q2b, q2 = q2, q2f
+    q2lb, q2l = q2l, q2lf
+
+    # tracers (advance.f:424-456), nadv=1
+    tf = advt1_ref(tb, t, st["tclim"], u, v, w, aam, dt, st["etb"], etf,
+                   h, g["dum"], g["dvm"], g["dx"], g["dy"], g["art"], dz,
+                   cfg.dti2, cfg.tprni, kbm1)
+    sf = advt1_ref(sb, s, st["sclim"], u, v, w, aam, dt, st["etb"], etf,
+                   h, g["dum"], g["dvm"], g["dx"], g["dy"], g["art"], dz,
+                   cfg.dti2, cfg.tprni, kbm1)
+    tf = proft_ref(tf, fc["wtsurf"], fc["tsurf"], cfg.nbct, kh, etf,
+                   fc["swrad"], h, g["z"], dz, g["dzz"], cfg.dti2,
+                   cfg.umol, cfg.ntp, kb)
+    sf = proft_ref(sf, fc["wssurf"], fc["ssurf"], cfg.nbcs, kh, etf,
+                   fc["swrad"], h, g["z"], dz, g["dzz"], cfg.dti2,
+                   cfg.umol, cfg.ntp, kb)
+    tf, sf = bcond_ts_ref(tf, sf, t, s, u, v, w, dt, fc, g["dx"],
+                          g["dy"], g["zz"], g["fsm"], cfg.dti, kbm1)
+    t = t + 0.5 * cfg.smoth * (tf + tb - 2.0 * t)
+    s = s + 0.5 * cfg.smoth * (sf + sb - 2.0 * s)
+    tb, t = t, tf
+    sb, s = s, sf
+    rho = dens_ref(s, t, g["zz"], h, g["fsm"], cfg.tbias, cfg.sbias,
+                   cfg.grav, cfg.rhoref)
+
+    # momentum (advance.f:459-521)
+    uf = advu_ref(u, ub, v, w, aux["advx"], aux["drhox"], dt,
+                  carry["egf"], st["egb"], fc["e_atmos"], st["etb"], etf,
+                  h, g["dy"], g["aru"], g["cor"], dz, cfg.grav, cfg.dti2,
+                  kbm1)
+    vf = advv_ref(v, vb, u, w, aux["advy"], aux["drhoy"], dt,
+                  carry["egf"], st["egb"], fc["e_atmos"], st["etb"], etf,
+                  h, g["dx"], g["arv"], g["cor"], dz, cfg.grav, cfg.dti2,
+                  kbm1)
+    uf, wubot = profu_ref(uf, ub, vb, km, etf, fc["wusurf"], h, g["cbc"],
+                          g["dum"], dz, g["dzz"], cfg.dti2, cfg.umol, kb)
+    vf, wvbot = profv_ref(vf, ub, vb, km, etf, fc["wvsurf"], h, g["cbc"],
+                          g["dvm"], dz, g["dzz"], cfg.dti2, cfg.umol, kb)
+    uf, vf = bcondorl_vel3d_ref(uf, vf, u, ub, v, vb, g["dum"], g["dvm"],
+                                kbm1)
+
+    # Asselin with depth-mean correction (advance.f:469-509)
+    tps = ((uf + ub - 2.0 * u)[:kbm1] * dz[:kbm1, None, None]).sum(0)
+    u = u + 0.5 * cfg.smoth * (uf + ub - 2.0 * u - tps)
+    tps = ((vf + vb - 2.0 * v)[:kbm1] * dz[:kbm1, None, None]).sum(0)
+    v = v + 0.5 * cfg.smoth * (vf + vb - 2.0 * v - tps)
+    ub, u = u, uf
+    vb, v = v, vf
+
+    return dict(u=u, ub=ub, v=v, vb=vb, w=w, t=t, tb=tb, s=s, sb=sb,
+                rho=rho, q2=q2, q2b=q2b, q2l=q2l, q2lb=q2lb,
+                km=km, kh=kh, kq=kq, l=l, wubot=wubot, wvbot=wvbot,
+                egb=carry["egf"], etb=st["et"], et=etf, etf=etf,
+                utb=carry["utf"], vtb=carry["vtf"], vfluxb=fc["vflux"])

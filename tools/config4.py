@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--im", type=int, default=512)
     ap.add_argument("--kb", type=int, default=31)
     ap.add_argument("--out", default="/tmp/extpom_config4")
+    ap.add_argument("--tridiag", default="auto")
     args = ap.parse_args()
 
     from extpom_tpu.cases.seamount import seamount_model
@@ -45,9 +46,13 @@ def main():
 
     im = jm = args.im
     kb = args.kb
-    m = seamount_model(im=im, jm=jm, kb=kb, donate=False)
-    m.run_segment(args.segment)          # compile first variant
+    m = seamount_model(im=im, jm=jm, kb=kb, donate=False,
+                       pallas_tridiag=args.tridiag)
+    m.run_segment(args.segment)          # compile first-step variant
     jax.block_until_ready(m.state.el)
+    m.run_segment(args.segment)          # compile + warm steady variant
+    jax.block_until_ready(m.state.el)
+    warm = m.iint
     t_compute = t_io = 0.0
     n_rst = n_out = 0
     t_all = time.perf_counter()
@@ -79,7 +84,7 @@ def main():
         b = np.asarray(getattr(st2, f))
         assert np.array_equal(a, b), f"restart not bitwise for {f}"
 
-    steps = m.iint - args.segment
+    steps = m.iint - warm
     print(json.dumps({
         "config": f"seamount {im}x{jm}x{kb} f32 (BASELINE config 4)",
         "steps_timed": steps,
