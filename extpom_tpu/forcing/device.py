@@ -12,6 +12,11 @@ linear time interpolation (bounds_forcing.f:841-865) runs INSIDE the jitted
 step, so a multi-day forced run is one device dispatch per segment.  The
 reference pays a blocking collective file read every record boundary
 mid-loop (SURVEY §3.4); here the data is resident before the loop starts.
+
+Measured (r2): the tidal channel (97x33x16 f32) runs 1.8x faster through
+the device-plan scan than through per-step host assembly on CPU, where
+compute dominates; on the single-TPU tunnel (~2 ms per dispatch) the
+per-step path is dispatch-bound and the win is correspondingly larger.
 """
 
 from __future__ import annotations
