@@ -1410,3 +1410,163 @@ def mode_internal_ref(st, carry, aux, fc, g, cfg):
                 km=km, kh=kh, kq=kq, l=l, wubot=wubot, wvbot=wvbot,
                 egb=carry["egf"], etb=st["et"], et=etf, etf=etf,
                 utb=carry["utf"], vtb=carry["vtf"], vfluxb=fc["vflux"])
+
+
+def bcond_el_ref(elf_in, fsm):
+    """bcond idx=1: zero-gradient elevation (bounds_forcing.f:18-41),
+    side order W, E, S, N."""
+    elf = elf_in.copy()
+    elf[0, :] = elf[1, :]
+    elf[-1, :] = elf[-2, :]
+    elf[:, 0] = elf[:, 1]
+    elf[:, -1] = elf[:, -2]
+    return elf * fsm
+
+
+def bcond_vel2d_ref(uaf_in, vaf_in, el, d, fc, dum, dvm, grav, ramp,
+                    rfe, rfw, rfn, rfs):
+    """bcond idx=2: Flather-type external velocity
+    (bounds_forcing.f:43-83)."""
+    uaf = uaf_in.copy()
+    vaf = vaf_in.copy()
+    im, jm = el.shape
+    J = slice(1, jm - 1)
+    I = slice(1, im - 1)
+    # west
+    uaf[1, J] = ramp * (fc["uabw"][J] - rfw * np.sqrt(grav / d[1, J])
+                        * (el[1, J] - fc["elw"][J]))
+    uaf[0, J] = uaf[1, J]
+    vaf[0, J] = fc["vabw"][J]
+    # east
+    uaf[im-1, J] = ramp * (fc["uabe"][J]
+                           + rfe * np.sqrt(grav / d[im-2, J])
+                           * (el[im-2, J] - fc["ele"][J]))
+    vaf[im-1, J] = fc["vabe"][J]
+    # south
+    vaf[I, 1] = ramp * (fc["vabs"][I] - rfs * np.sqrt(grav / d[I, 1])
+                        * (el[I, 1] - fc["els"][I]))
+    vaf[I, 0] = vaf[I, 1]
+    uaf[I, 0] = fc["uabs"][I]
+    # north
+    vaf[I, jm-1] = ramp * (fc["vabn"][I]
+                           + rfn * np.sqrt(grav / d[I, jm-2])
+                           * (el[I, jm-2] - fc["eln"][I]))
+    uaf[I, jm-1] = fc["uabn"][I]
+    return uaf * dum, vaf * dvm
+
+
+def mode_external_substep_ref(c, aux, fc, g, cfg, iext):
+    """One external (2-D) leapfrog substep oracle (advance.f:205-353) for
+    the bcond idx1/2 family.  ``c`` is the carry dict; returns the updated
+    carry."""
+    im, jm = c["el"].shape
+    h, dx, dy, art = g["h"], g["dx"], g["dy"], g["art"]
+    d = h + c["el"]
+    fluxua = np.zeros((im, jm))
+    fluxva = np.zeros((im, jm))
+    for j in range(1, jm):
+        for i in range(1, im):
+            fluxua[i, j] = (0.25 * (d[i, j] + d[i-1, j])
+                            * (dy[i, j] + dy[i-1, j]) * c["ua"][i, j])
+            fluxva[i, j] = (0.25 * (d[i, j] + d[i, j-1])
+                            * (dx[i, j] + dx[i, j-1]) * c["va"][i, j])
+    elf = np.zeros((im, jm))
+    for j in range(1, jm - 1):
+        for i in range(1, im - 1):
+            elf[i, j] = (c["elb"][i, j]
+                         + cfg.dte2 * (-(fluxua[i+1, j] - fluxua[i, j]
+                                         + fluxva[i, j+1] - fluxva[i, j])
+                                       / art[i, j]
+                                       - fc["vflux"][i, j]))
+    elf = bcond_el_ref(elf, g["fsm"])
+
+    advua, advva = c["advua"], c["advva"]
+    wubot, wvbot = c["wubot"], c["wvbot"]
+    if iext % cfg.ispadv == 0:
+        advua, advva, wubot, wvbot = advave_ref(
+            d, c["ua"], c["va"], c["uab"], c["vab"], aux["aam2d"],
+            wubot, wvbot, g["cbc"], dx, dy, g["aru"], g["arv"], cfg.mode)
+
+    alpha = cfg.alpha
+    uaf = np.zeros((im, jm))
+    vaf = np.zeros((im, jm))
+    for j in range(1, jm - 1):
+        for i in range(1, im):
+            uaf[i, j] = (aux["adx2d"][i, j] + advua[i, j]
+                         - g["aru"][i, j] * 0.25
+                         * (g["cor"][i, j] * d[i, j]
+                            * (c["va"][i, j+1] + c["va"][i, j])
+                            + g["cor"][i-1, j] * d[i-1, j]
+                            * (c["va"][i-1, j+1] + c["va"][i-1, j]))
+                         + 0.25 * cfg.grav * (dy[i, j] + dy[i-1, j])
+                         * (d[i, j] + d[i-1, j])
+                         * ((1.0 - 2.0 * alpha)
+                            * (c["el"][i, j] - c["el"][i-1, j])
+                            + alpha * (c["elb"][i, j] - c["elb"][i-1, j]
+                                       + elf[i, j] - elf[i-1, j])
+                            + fc["e_atmos"][i, j] - fc["e_atmos"][i-1, j])
+                         + aux["drx2d"][i, j]
+                         + g["aru"][i, j] * (fc["wusurf"][i, j]
+                                             - wubot[i, j]))
+            uaf[i, j] = (((h[i, j] + c["elb"][i, j] + h[i-1, j]
+                           + c["elb"][i-1, j]) * g["aru"][i, j]
+                          * c["uab"][i, j]
+                          - 4.0 * cfg.dte * uaf[i, j])
+                         / ((h[i, j] + elf[i, j] + h[i-1, j]
+                             + elf[i-1, j]) * g["aru"][i, j]))
+    for j in range(1, jm):
+        for i in range(1, im - 1):
+            vaf[i, j] = (aux["ady2d"][i, j] + advva[i, j]
+                         + g["arv"][i, j] * 0.25
+                         * (g["cor"][i, j] * d[i, j]
+                            * (c["ua"][i+1, j] + c["ua"][i, j])
+                            + g["cor"][i, j-1] * d[i, j-1]
+                            * (c["ua"][i+1, j-1] + c["ua"][i, j-1]))
+                         + 0.25 * cfg.grav * (dx[i, j] + dx[i, j-1])
+                         * (d[i, j] + d[i, j-1])
+                         * ((1.0 - 2.0 * alpha)
+                            * (c["el"][i, j] - c["el"][i, j-1])
+                            + alpha * (c["elb"][i, j] - c["elb"][i, j-1]
+                                       + elf[i, j] - elf[i, j-1])
+                            + fc["e_atmos"][i, j] - fc["e_atmos"][i, j-1])
+                         + aux["dry2d"][i, j]
+                         + g["arv"][i, j] * (fc["wvsurf"][i, j]
+                                             - wvbot[i, j]))
+            vaf[i, j] = (((h[i, j] + c["elb"][i, j] + h[i, j-1]
+                           + c["elb"][i, j-1]) * g["arv"][i, j]
+                          * c["vab"][i, j]
+                          - 4.0 * cfg.dte * vaf[i, j])
+                         / ((h[i, j] + elf[i, j] + h[i, j-1]
+                             + elf[i, j-1]) * g["arv"][i, j]))
+    uaf, vaf = bcond_vel2d_ref(uaf, vaf, c["el"], d, fc, g["dum"],
+                               g["dvm"], cfg.grav, fc["ramp"],
+                               cfg.rfe, cfg.rfw, cfg.rfn, cfg.rfs)
+
+    etf = c["etf"].copy()
+    if iext == cfg.isplit - 2:
+        etf = 0.25 * cfg.smoth * elf
+    elif iext == cfg.isplit - 1:
+        etf = etf + 0.5 * (1.0 - 0.5 * cfg.smoth) * elf
+    elif iext == cfg.isplit:
+        etf = (etf + 0.5 * elf) * g["fsm"]
+
+    ua = c["ua"] + 0.5 * cfg.smoth * (c["uab"] - 2.0 * c["ua"] + uaf)
+    va = c["va"] + 0.5 * cfg.smoth * (c["vab"] - 2.0 * c["va"] + vaf)
+    el = c["el"] + 0.5 * cfg.smoth * (c["elb"] - 2.0 * c["el"] + elf)
+    elb, el = el, elf
+    d = h + el
+    uab, ua = ua, uaf
+    vab, va = va, vaf
+
+    egf, utf, vtf = c["egf"].copy(), c["utf"].copy(), c["vtf"].copy()
+    if iext != cfg.isplit:
+        egf = egf + el * cfg.ispi
+        for j in range(jm):
+            for i in range(1, im):
+                utf[i, j] += ua[i, j] * (d[i, j] + d[i-1, j]) * cfg.isp2i
+        for j in range(1, jm):
+            for i in range(im):
+                vtf[i, j] += va[i, j] * (d[i, j] + d[i, j-1]) * cfg.isp2i
+    return dict(el=el, elb=elb, ua=ua, uab=uab, va=va, vab=vab, etf=etf,
+                egf=egf, utf=utf, vtf=vtf, advua=advua, advva=advva,
+                wubot=wubot, wvbot=wvbot)

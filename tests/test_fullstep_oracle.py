@@ -71,3 +71,52 @@ def test_mode_internal_matches_oracle():
         b = want[name]
         tol = 1e-10 * max(1.0, float(np.abs(b).max()))
         np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
+
+
+def test_mode_external_loop_matches_oracle():
+    """All isplit external substeps vs the loop oracle
+    (pom_ref.mode_external_substep_ref, advance.f:205-353) including the
+    etf tail averaging and the accumulator skip on the last substep."""
+    m = seamount_model(im=20, jm=18, kb=8, dtype="float64", donate=False,
+                       bc_scheme="file", isplit=10)
+    for _ in range(3):
+        m.step_once()
+    st, grid, cfg = m.state, m.grid, m.cfg
+    fc = m.forcing_at(m.iint + 1)
+
+    aam, advx, advy, drhox, drhoy = stepper.lateral_terms(
+        grid, cfg, st, fc, m.rmean)
+    (adx2d, ady2d, drx2d, dry2d, aam2d, advua, advva, wubot, wvbot,
+     egf, utf, vtf) = stepper.mode_interaction(grid, cfg, st, aam, advx,
+                                               advy, drhox, drhoy)
+    c = stepper.ExtCarry(el=st.el, elb=st.elb, ua=st.ua, uab=st.uab,
+                         va=st.va, vab=st.vab, etf=st.etf, egf=egf,
+                         utf=utf, vtf=vtf, advua=advua, advva=advva,
+                         wubot=wubot, wvbot=wvbot)
+    aux = (adx2d, ady2d, drx2d, dry2d, aam2d)
+
+    A = lambda x: np.asarray(x)
+    c_ref = {n: A(getattr(c, n)) for n in c._fields}
+    aux_ref = dict(adx2d=A(adx2d), ady2d=A(ady2d), drx2d=A(drx2d),
+                   dry2d=A(dry2d), aam2d=A(aam2d))
+    fc_ref = {n: A(getattr(fc, n)) for n in
+              ("vflux", "e_atmos", "wusurf", "wvsurf", "elw", "ele",
+               "els", "eln", "uabw", "uabe", "vabw", "vabe", "uabs",
+               "uabn", "vabs", "vabn")}
+    fc_ref["ramp"] = float(fc.ramp)
+    g_ref = {n: A(getattr(grid, n)) for n in
+             ("h", "dx", "dy", "art", "aru", "arv", "cor", "cbc",
+              "fsm", "dum", "dvm")}
+
+    for iext in range(1, cfg.isplit + 1):
+        c = stepper.mode_external_substep(grid, cfg, c, jnp.int32(iext),
+                                          fc, aux)
+        c_ref = pom_ref.mode_external_substep_ref(c_ref, aux_ref, fc_ref,
+                                                  g_ref, cfg, iext)
+
+    for name in c._fields:
+        a = A(getattr(c, name))
+        b = c_ref[name]
+        tol = 1e-10 * max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol,
+                                   err_msg=f"{name}")
