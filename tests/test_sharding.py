@@ -44,3 +44,52 @@ def test_decomposition_invariance(px, py):
         # decomposition bugs show up at O(0.1) (see ops.stencil docstring)
         tol = 1e-9 * max(1.0, float(np.abs(a).max()))
         np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
+
+
+def test_decomposition_invariance_with_land():
+    """Land (fsm=0) blobs crossing shard boundaries: the masked BC writes
+    and dum/dvm-masked stencils must stay decomposition-invariant
+    (VERDICT r1 weak item 5)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import numpy as np
+    from extpom_tpu.core.config import Config
+    from extpom_tpu.core.grid import make_grid, sigma_levels
+    from extpom_tpu.core.model import Model
+
+    im, jm, kb = 32, 64, 7
+    cfg = Config(im=im, jm=jm, kb=kb, dtype="float64", tbias=10.0,
+                 sbias=20.0, dte=6.0, isplit=10)
+    z, zz = sigma_levels(kb)
+    dx = np.full((im, jm), 8000.0)
+    h = np.full((im, jm), 1000.0)
+    fsm = np.ones((im, jm))
+    # a land blob straddling the x-shard boundary at i=16 and the y-shard
+    # boundaries at j=16/32/48 (2x4 and 4x2 meshes)
+    fsm[12:22, 12:36] = 0.0
+    h = np.where(fsm > 0, h, 1.0)
+    cor = np.full((im, jm), 1e-4)
+    grid = make_grid(cfg, z, zz, dx, dx, h, fsm, cor=cor)
+    tb = np.broadcast_to(
+        5.0 + 15.0 * np.exp(zz[:, None, None] * h[None] / 1000.0) - 10.0,
+        (kb, im, jm)).copy()
+    sb = np.full((kb, im, jm), 15.0)
+    uab = np.full((im, jm), 0.1) * fsm
+
+    def build():
+        return Model(grid, cfg, tb=tb, sb=sb, uab=uab, donate=False)
+
+    ref = build()
+    for _ in range(5):
+        ref.step_once()
+
+    m = build().shard(make_mesh(2, 4))
+    for _ in range(5):
+        m.step_once()
+
+    for name in ("el", "ua", "va", "u", "v", "t", "s", "q2", "km"):
+        a = np.asarray(getattr(ref.state, name))
+        b = np.asarray(getattr(m.state, name))
+        assert np.all(np.isfinite(a)), f"{name} not finite"
+        tol = 1e-9 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
