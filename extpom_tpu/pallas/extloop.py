@@ -17,9 +17,10 @@ The physics is not re-implemented: the kernel body calls the exact same
 (all its stencil ops are jnp expressions that Mosaic lowers), so the two
 paths are maintained by a single source of truth and agree to f32 roundoff.
 
-Applicability: the whole 2-D working set must fit in VMEM (~16 MB/core),
-i.e. im*jm <= ~64K cells at f32 (256x256).  :func:`fits_vmem` gates the
-dispatch; the stepper falls back to the XLA ``fori_loop`` otherwise.
+Applicability: the whole 2-D working set must fit in VMEM (128 MiB on
+v5e), i.e. up to 512x512 f32 with headroom for temporaries.
+:func:`fits_vmem` gates the dispatch; the stepper falls back to the XLA
+``fori_loop`` otherwise.
 """
 
 from __future__ import annotations
@@ -55,11 +56,15 @@ FC_1D_J = ("elw", "ele", "uabw", "uabe", "vabw", "vabe")
 FC_1D_I = ("els", "eln", "vabs", "vabn", "uabs", "uabn")
 
 
-def fits_vmem(cfg: Config, budget_bytes: int = 11 * 2 ** 20) -> bool:
+def fits_vmem(cfg: Config, budget_bytes: int = 40 * 2 ** 20) -> bool:
     """True when the kernel's VMEM-resident 2-D working set fits.
 
     ~34 input blocks + 14 aliased outputs + transients; f32 only (f64 is
-    the CPU validation dtype and doubles the footprint past VMEM)."""
+    the CPU validation dtype and doubles the footprint past VMEM).  The
+    budget is for the INPUT blocks alone: v5e VMEM is 128 MiB, and a 40 MiB
+    input set (512x512 f32) leaves room for Mosaic temporaries — measured
+    working on a v5e chip at 512x512 (2.46 ms/step vs 3.23 ms XLA,
+    ROOFLINE.md round 2)."""
     n_blocks = (len(CARRY_FIELDS) + len(GRID_FIELDS) + len(AUX_FIELDS)
                 + len(FC_2D_FIELDS))
     per = cfg.im * cfg.jm * 4

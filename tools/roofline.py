@@ -79,25 +79,39 @@ def measure_step(im, jm, kb, n=30, pallas="auto"):
     return dt, bytes_seg / n, flops_seg / n
 
 
-def ext_loop_model_bytes(im, jm, isplit, pallas: bool):
+def ext_loop_model_bytes(im, jm, isplit, variant: str, cfg=None):
     """Hand model: minimum HBM traffic of the external loop per internal
     step.  XLA path: the live 2-D working set (14 carry + 11 grid + 5 aux +
     4 forcing reads, 14 writes) moves per SUBSTEP; Pallas VMEM-resident
-    path: once per STEP."""
+    path: once per STEP; blocked halo-window path: once per CHUNK of
+    ext_chunk substeps, inflated by the window-overlap factor on reads."""
     n_read, n_write = 34, 14
     per_pass = (n_read + n_write) * im * jm * 4
-    return per_pass * (1 if pallas else isplit)
+    if variant == "pallas":
+        return per_pass
+    if variant == "block" and cfg is not None:
+        C = max(1, min(cfg.ext_chunk, isplit))
+        B = cfg.ext_block_size
+        H = C * cfg.ext_halo_sub
+        overlap = (B + 2 * H) ** 2 / B ** 2
+        n_chunks = -(-isplit // C)
+        return (n_read * overlap + n_write) * im * jm * 4 * n_chunks
+    return per_pass * isplit
 
 
-def measure_mode2(im, jm, isplit=30, n=20, pallas="auto", kb=3):
+def measure_mode2(im, jm, isplit=30, n=20, variant="xla", kb=3, **cfg_kw):
     """External-2-D-mode-only step (mode=2): the BASELINE roofline gate is
     specifically on these stencils.  Returns (s/step, model bytes/step,
-    HLO bytes/step)."""
+    HLO bytes/step).  variant: 'xla' (fori_loop), 'pallas' (whole-grid
+    VMEM kernel), 'block' (chunked halo windows, ops/extblock.py)."""
     from extpom_tpu.cases.seamount import seamount_model
     from extpom_tpu.core import stepper
 
+    pallas = {"xla": "off", "pallas": "on", "block": "off"}[variant]
+    ext_block = "on" if variant == "block" else "off"
     m = seamount_model(im=im, jm=jm, kb=kb, mode=2, isplit=isplit,
-                       donate=False, pallas_ext=pallas, lramp=False)
+                       donate=False, pallas_ext=pallas, lramp=False,
+                       ext_block=ext_block, **cfg_kw)
     run = stepper.make_run_fn(m.cfg, 1.0, donate=False)
     lowered = run.lower(m.grid, m.state, m.base_forcing, m.rmean, m.tclim,
                         m.sclim, 0, n, first=False, plan=None)
@@ -116,9 +130,7 @@ def measure_mode2(im, jm, isplit=30, n=20, pallas="auto", kb=3):
                   jnp.asarray(n), plan=None)
     jax.block_until_ready(st.el)
     dt = (time.perf_counter() - t0) / n
-    is_pallas = (pallas == "on"
-                 or (pallas == "auto" and im * jm * 4 * 34 <= 11 * 2**20))
-    model_bytes = ext_loop_model_bytes(im, jm, isplit, is_pallas)
+    model_bytes = ext_loop_model_bytes(im, jm, isplit, variant, m.cfg)
     return dt, model_bytes, hlo_bytes
 
 
@@ -129,6 +141,8 @@ def main():
     ap.add_argument("--isplit", type=int, default=30)
     ap.add_argument("--mode2", action="store_true",
                     help="external-mode-only (mode=2) measurement")
+    ap.add_argument("--variants", default="xla,block",
+                    help="comma list of xla,pallas,block (mode2 only)")
     args = ap.parse_args()
 
     peak, kind = device_peak()
@@ -139,22 +153,23 @@ def main():
         print("external (2-D) mode only, isplit="
               f"{args.isplit} (the BASELINE external-stencil gate)")
         print()
-        print("| grid | pallas | s/step | model GB/step | HLO GB/step |"
-              " model GB/s | %peak(model) | %peak(HLO) |")
+        print("| grid | variant | s/step | model GB/step | HLO GB/step |"
+              " model GB/s | %peak(model) | xla-equiv GB/s |")
         print("|---|---|---|---|---|---|---|---|")
         for s in args.sizes.split(","):
             im = jm = int(s)
-            for pal in ("off", "auto"):
+            xla_bytes = ext_loop_model_bytes(im, jm, args.isplit, "xla")
+            for var in args.variants.split(","):
                 dt, mb, hb = measure_mode2(im, jm, args.isplit,
-                                           pallas=pal)
-                print(f"| {im}x{jm} | {pal} | {dt*1e3:.2f} ms | "
+                                           variant=var)
+                print(f"| {im}x{jm} | {var} | {dt*1e3:.2f} ms | "
                       f"{mb/1e9:.3f} | {hb/1e9:.3f} | {mb/dt/1e9:.0f} | "
-                      f"{100*mb/dt/peak:.0f}% | {100*hb/dt/peak:.0f}% |",
+                      f"{100*mb/dt/peak:.0f}% | {xla_bytes/dt/1e9:.0f} |",
                       flush=True)
-                rows.append(dict(im=im, jm=jm, pallas=pal, s_per_step=dt,
+                rows.append(dict(im=im, jm=jm, variant=var, s_per_step=dt,
                                  model_bytes=mb, hlo_bytes=hb,
                                  pct_peak_model=100 * mb / dt / peak,
-                                 pct_peak_hlo=100 * hb / dt / peak))
+                                 xla_equiv_Bps=xla_bytes / dt))
     else:
         print()
         print("| grid | kb | s/step | HLO GB/step | achieved GB/s | %peak |"
