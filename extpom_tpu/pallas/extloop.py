@@ -56,15 +56,34 @@ FC_1D_J = ("elw", "ele", "uabw", "uabe", "vabw", "vabe")
 FC_1D_I = ("els", "eln", "vabs", "vabn", "uabs", "uabn")
 
 
-def fits_vmem(cfg: Config, budget_bytes: int = 40 * 2 ** 20) -> bool:
+def device_vmem_budget() -> int:
+    """Input-set VMEM budget derived from the attached device kind.
+
+    v5e has 128 MiB VMEM and a 40 MiB input set (512x512 f32) is measured
+    working on-chip (ROOFLINE.md round 2); the same holds for later
+    generations (v5p/v6) whose VMEM is >= 128 MiB.  Older chips (v2-v4)
+    have ~16-32 MiB VMEM, where only a ~11 MiB input set (256x256 f32)
+    leaves Mosaic headroom.  Unknown/CPU devices get the conservative
+    number (auto dispatch never selects Pallas off-TPU anyway)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover - backend init failure
+        return 11 * 2 ** 20
+    if any(tag in kind for tag in ("v5", "v6", "v7")):
+        return 40 * 2 ** 20
+    return 11 * 2 ** 20
+
+
+def fits_vmem(cfg: Config, budget_bytes: int | None = None) -> bool:
     """True when the kernel's VMEM-resident 2-D working set fits.
 
     ~34 input blocks + 14 aliased outputs + transients; f32 only (f64 is
     the CPU validation dtype and doubles the footprint past VMEM).  The
-    budget is for the INPUT blocks alone: v5e VMEM is 128 MiB, and a 40 MiB
-    input set (512x512 f32) leaves room for Mosaic temporaries — measured
-    working on a v5e chip at 512x512 (2.46 ms/step vs 3.23 ms XLA,
-    ROOFLINE.md round 2)."""
+    budget is for the INPUT blocks alone and defaults to the attached
+    device's :func:`device_vmem_budget` (40 MiB on v5e+: measured working
+    at 512x512, 2.46 ms/step vs 3.23 ms XLA, ROOFLINE.md round 2)."""
+    if budget_bytes is None:
+        budget_bytes = device_vmem_budget()
     n_blocks = (len(CARRY_FIELDS) + len(GRID_FIELDS) + len(AUX_FIELDS)
                 + len(FC_2D_FIELDS))
     per = cfg.im * cfg.jm * 4

@@ -42,6 +42,14 @@ def test_extloop_matches_xla():
 def test_fits_vmem_gate():
     from extpom_tpu.pallas.extloop import fits_vmem
     from extpom_tpu.core.config import Config
-    assert fits_vmem(Config(im=256, jm=256, kb=31))
+    v5e = 40 * 2 ** 20    # v5e+ budget (device_vmem_budget on those chips)
+    old = 11 * 2 ** 20    # conservative budget for v2-v4 / unknown devices
+    assert fits_vmem(Config(im=256, jm=256, kb=31), budget_bytes=v5e)
+    assert fits_vmem(Config(im=512, jm=512, kb=31), budget_bytes=v5e)
+    assert not fits_vmem(Config(im=1024, jm=1024, kb=31), budget_bytes=v5e)
+    assert not fits_vmem(Config(im=512, jm=512, kb=31, dtype="float64"),
+                         budget_bytes=v5e)
+    assert fits_vmem(Config(im=256, jm=256, kb=31), budget_bytes=old)
+    assert not fits_vmem(Config(im=512, jm=512, kb=31), budget_bytes=old)
+    # default budget derives from the attached device (CPU here -> old)
     assert not fits_vmem(Config(im=512, jm=512, kb=31))
-    assert not fits_vmem(Config(im=256, jm=256, kb=31, dtype="float64"))

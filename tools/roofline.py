@@ -160,6 +160,13 @@ def main():
             im = jm = int(s)
             xla_bytes = ext_loop_model_bytes(im, jm, args.isplit, "xla")
             for var in args.variants.split(","):
+                if var == "pallas":
+                    from extpom_tpu.pallas.extloop import fits_vmem
+                    from extpom_tpu.core.config import Config
+                    if not fits_vmem(Config(im=im, jm=jm, kb=3)):
+                        print(f"| {im}x{jm} | {var} | n/a (exceeds VMEM "
+                              "budget) | | | | | |", flush=True)
+                        continue
                 dt, mb, hb = measure_mode2(im, jm, args.isplit,
                                            variant=var)
                 print(f"| {im}x{jm} | {var} | {dt*1e3:.2f} ms | "
