@@ -3,9 +3,9 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The metric is grid-points/s/chip on the full mode-split 3-D step
 (BASELINE.json primary metric).  The reference publishes no numbers
-("published": {}), so vs_baseline is reported against the north-star
-proxy of 1.0 (parity with itself); improvements show up round-over-round
-in BENCH_r{N}.json.
+("published": {}), so vs_baseline is the ratio to the PREVIOUS round's
+recorded result (BENCH_r02: 3.891e8 grid-point-steps/s) — the only perf
+comparison this project has; >1.0 means this round got faster.
 """
 
 import json
@@ -59,11 +59,12 @@ def main():
                   f"{type(e).__name__}", flush=True)
     if gps is None:
         raise SystemExit(1)
+    prev_round = 3.891e8           # BENCH_r02 on the same chip/config
     print(json.dumps({
         "metric": "seamount3d_grid_points_per_s_per_chip",
         "value": round(gps, 1),
         "unit": "grid-point-steps/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(gps / prev_round, 3),
     }))
 
 

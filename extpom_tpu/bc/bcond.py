@@ -32,12 +32,22 @@ from extpom_tpu.ops.stencil import sft, sfk, put, set_i, set_j, s_
 
 
 def _bj(a1d: jnp.ndarray) -> jnp.ndarray:
-    """Broadcast a (jm,) or (kb, jm) boundary series along the i axis."""
+    """Broadcast a (jm,) or (kb, jm) boundary series along the i axis.
+
+    Full-rank 3-D fields (the pre-broadcast windowed form used inside the
+    Pallas phase kernels) pass through unchanged."""
+    if a1d.ndim >= 3:
+        return a1d
     return a1d[..., None, :]
 
 
 def _bi(a1d: jnp.ndarray) -> jnp.ndarray:
-    """Broadcast an (im,) or (kb, im) boundary series along the j axis."""
+    """Broadcast an (im,) or (kb, im) boundary series along the j axis.
+
+    Full-rank 3-D fields (the pre-broadcast windowed form used inside the
+    Pallas phase kernels) pass through unchanged."""
+    if a1d.ndim >= 3:
+        return a1d
     return a1d[..., :, None]
 
 
@@ -153,11 +163,14 @@ def bc_ts(grid: Grid, cfg: Config,
     fields."""
     kbm1 = cfg.kbm1
     K = slice(0, kbm1)
-    zz = grid.zz  # (kb,)
-    kidx = jnp.arange(cfg.kb)
-    # vertical-advection correction applies for 0 < k < kbm1-1
-    kmask = ((kidx > 0) & (kidx < kbm1 - 1)).astype(t.dtype)[:, None, None]
-    dzz2 = (sfk(zz, -1) - sfk(zz, 1))[:, None, None]
+    zz3 = grid.zz3  # (kb, 1, 1)
+    # vertical-advection correction applies for 0 < k < kbm1-1; a 3-D
+    # broadcasted iota (not 1-D arange, not a captured numpy constant)
+    # lowers both through XLA and through Mosaic in the phase kernels
+    import jax.lax as _lax
+    kidx = _lax.broadcasted_iota(jnp.int32, (cfg.kb, 1, 1), 0)
+    kmask = ((kidx > 0) & (kidx < kbm1 - 1)).astype(t.dtype)
+    dzz2 = sfk(zz3, -1) - sfk(zz3, 1)
     dzz2 = jnp.where(dzz2 == 0, 1.0, dzz2)
 
     def wm_corr(w_in, dt_in, f_in):

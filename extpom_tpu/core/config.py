@@ -119,6 +119,20 @@ class Config:
     # fits VMEM; "on" forces it (interpreted off-TPU: for tests); "off"
     # always uses the XLA fori_loop.
     pallas_ext: str = "auto"
+    # Fused halo-window Pallas kernels for the internal-mode phases
+    # (pallas/phases.py): each phase (uvw+vertvl, TKE, tracers, momentum)
+    # becomes a handful of big kernels blocked over i-stripes with halo
+    # windows, replacing the ~1600 launch-bound XLA kernels per step.
+    # "auto" uses them on a single TPU; "on" forces (interpreted off-TPU:
+    # for tests); "off" keeps the plain XLA phase path.
+    pallas_phases: str = "auto"
+    phase_block: int = 64      # max i-stripe interior rows per kernel
+                               # instance (scaled down for wide/deep grids
+                               # by pallas.phases.effective_block; 64 is
+                               # the measured optimum at 256x256x31)
+    phase_halo: int = 8        # halo rows per side (>= total chained
+                               # stencil radius of any one phase; multiple
+                               # of 8 for sublane-aligned DMA starts)
     # Chunked grid-blocked external loop (ops/extblock.py): runs
     # ext_chunk substeps per HBM pass over overlapping halo windows —
     # the traffic reduction of the Pallas kernel at sizes beyond VMEM.

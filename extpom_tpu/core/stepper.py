@@ -215,18 +215,122 @@ def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
                     advua=advua, advva=advva, wubot=wubot, wvbot=wvbot)
 
 
+def phase_uvw(grid, cfg: Config, u, v, w, dt, utb, vtb, utf, vtf,
+              etb, etf, vfluxb, vflux):
+    """Depth-mean adjustment of u,v + vertical velocity
+    (advance.f:364-400).  Returns (u, v, w)."""
+    kbm1 = cfg.kbm1
+    KM1 = slice(0, kbm1)
+    dz3 = grid.dz3[:kbm1]
+    tps = jnp.sum(u[:kbm1] * dz3, axis=0)
+    u = put(u, (u - tps) + (utb + utf) / (dt + sft(dt, -1, 0)),
+            KM1, slice(1, None), slice(None))
+    tps = jnp.sum(v[:kbm1] * dz3, axis=0)
+    v = put(v, (v - tps) + (vtb + vtf) / (dt + sft(dt, 0, -1)),
+            KM1, slice(None), slice(1, None))
+    w = continuity.vertvl(grid, cfg, w, u, v, dt, etf, etb, vfluxb, vflux)
+    w = bco.orl_w(grid, cfg, w)   # idx 5 is a pure mask in both schemes
+    return u, v, w
+
+
+def phase_tke(grid, cfg: Config, q2, q2b, q2l, q2lb, u, v, w, aam,
+              t, s, rho, km, kh, kq, l, dt, etb, etf,
+              wubot, wvbot, fc):
+    """TKE pair advection + MY-2.5 closure + BC + Asselin/rotate
+    (advance.f:406-421).  Returns the new
+    (q2, q2b, q2l, q2lb, km, kh, kq, l)."""
+    q2f = tracers.advq(grid, cfg, q2b, q2, u, v, w, aam, dt, etb, etf)
+    q2lf = tracers.advq(grid, cfg, q2lb, q2l, u, v, w, aam, dt, etb, etf)
+    (q2f, q2lf, km, kh, kq, l, q2b, q2lb) = vertical.profq(
+        grid, cfg, q2f, q2lf, q2, q2b, q2lb, u, v, t, s, rho,
+        km, kh, kq, l, etf, fc.wusurf, fc.wvsurf, wubot, wvbot)
+    if cfg.bc_scheme == "orlanski":
+        q2f, q2lf = bco.orl_turb(grid, cfg, q2f, q2lf)
+    else:
+        q2f, q2lf = bcf.bc_turb(grid, cfg, q2f, q2lf, q2, q2l, u, v)
+
+    q2 = q2 + 0.5 * cfg.smoth * (q2f + q2b - 2.0 * q2)
+    q2l = q2l + 0.5 * cfg.smoth * (q2lf + q2lb - 2.0 * q2l)
+    return q2f, q2, q2lf, q2l, km, kh, kq, l
+
+
+def phase_tracer(grid, cfg: Config, t, tb, s, sb, tclim, sclim,
+                 u, ub, v, w, aam, kh, dt, etb, etf, fc):
+    """Tracer advection + implicit diffusion + BC + Asselin/rotate +
+    restoring + EOS (advance.f:424-456).  Returns the new
+    (t, tb, s, sb, rho)."""
+    kbm1 = cfg.kbm1
+    KM1 = slice(0, kbm1)
+    adv = tracers.advt1 if cfg.nadv == 1 else tracers.advt2
+    tf = adv(grid, cfg, tb, t, tclim, u, v, w, aam, dt, etb, etf)
+    sf = adv(grid, cfg, sb, s, sclim, u, v, w, aam, dt, etb, etf)
+    tf = vertical.proft(grid, cfg, tf, fc.wtsurf, fc.tsurf,
+                        cfg.nbct, kh, etf, fc.swrad)
+    sf = vertical.proft(grid, cfg, sf, fc.wssurf, fc.ssurf,
+                        cfg.nbcs, kh, etf, fc.swrad)
+    if cfg.bc_scheme == "orlanski":
+        tf, sf = bco.orl_ts(grid, cfg, tf, sf, t, tb, s, sb, ub, fc)
+    else:
+        tf, sf = bcf.bc_ts(grid, cfg, tf, sf, t, s, u, v, w, dt, fc)
+
+    t = t + 0.5 * cfg.smoth * (tf + tb - 2.0 * t)
+    s = s + 0.5 * cfg.smoth * (sf + sb - 2.0 * s)
+    tb = t
+    t = tf
+    sb = s
+    s = sf
+
+    if cfg.do_restore:
+        # interior restoring toward climatology (bounds_forcing.f:1097-1118)
+        fac = 2.0 * cfg.dti / 86400.0 * fc.taurstr
+        A = (slice(None), slice(None))
+        t = put(t, (t + fac * (fc.trstr - t)) * grid.fsm, KM1, *A)
+        tb = put(tb, (tb + fac * (fc.trstr - tb)) * grid.fsm, KM1, *A)
+        s = put(s, (s + fac * (fc.srstr - s)) * grid.fsm, KM1, *A)
+        sb = put(sb, (sb + fac * (fc.srstr - sb)) * grid.fsm, KM1, *A)
+
+    rho = density.dens(grid, cfg, s, t)
+    return t, tb, s, sb, rho
+
+
+def phase_mom(grid, cfg: Config, u, ub, v, vb, w, advx, advy,
+              drhox, drhoy, km, dt, egf, egb, etb, etf, d, fc):
+    """Momentum advection + implicit vertical diffusion/bottom friction +
+    BC + Asselin/rotate (advance.f:459-521).  ``d = h + el`` feeds the
+    file-BC depth blend.  Returns the new (u, ub, v, vb, wubot, wvbot)."""
+    kbm1 = cfg.kbm1
+    dz3 = grid.dz3[:kbm1]
+    uf = momentum.advu(grid, cfg, u, ub, v, w, advx, drhox, dt,
+                       egf, egb, fc.e_atmos, etb, etf)
+    vf = momentum.advv(grid, cfg, v, vb, u, w, advy, drhoy, dt,
+                       egf, egb, fc.e_atmos, etb, etf)
+    uf, wubot = vertical.profu(grid, cfg, uf, ub, vb, km, etf, fc.wusurf)
+    vf, wvbot = vertical.profv(grid, cfg, vf, ub, vb, km, etf, fc.wvsurf)
+    if cfg.bc_scheme == "file":
+        uf, vf = bcf.bc_vel3d(grid, cfg, uf, vf, u, v, d, fc)
+    else:
+        uf, vf = bco.orl_vel3d(grid, cfg, uf, vf, u, ub, v, vb)
+
+    # Asselin filter with depth-mean correction (advance.f:469-509)
+    tps = jnp.sum((uf + ub - 2.0 * u)[:kbm1] * dz3, axis=0)
+    u = u + 0.5 * cfg.smoth * (uf + ub - 2.0 * u - tps)
+    tps = jnp.sum((vf + vb - 2.0 * v)[:kbm1] * dz3, axis=0)
+    v = v + 0.5 * cfg.smoth * (vf + vb - 2.0 * v - tps)
+    return uf, u, vf, v, wubot, wvbot
+
+
 def mode_internal(grid: Grid, cfg: Config, st: State, fc: Forcing,
                   c: ExtCarry, aam, advx, advy, drhox, drhoy,
                   rmean, tclim, sclim, first: bool) -> State:
     """Internal (3-D) mode update (advance.f:356-537).
 
     ``first=True`` reproduces the reference's cold-start behavior where the
-    3-D update block is skipped on the very first step
-    (advance.f:362)."""
+    3-D update block is skipped on the very first step (advance.f:362).
+    The four phases run either directly (XLA fuses within each phase) or as
+    fused halo-window Pallas kernels (pallas/phases.py) when
+    ``cfg.pallas_phases`` dispatches them.
+    """
     h = grid.h
-    kbm1 = cfg.kbm1
-    KM1 = slice(0, kbm1)
-    dz3 = grid.dz3[:kbm1]
     dt = h + st.et     # pre-update dt (time n)
     etf = c.etf
 
@@ -237,96 +341,37 @@ def mode_internal(grid: Grid, cfg: Config, st: State, fc: Forcing,
     wubot, wvbot = c.wubot, c.wvbot
 
     if (not first) and cfg.mode != 2:
-        # adjust u,v so the depth mean matches the external mode
-        # (advance.f:364-393)
-        tps = jnp.sum(u[:kbm1] * dz3, axis=0)
-        u = put(u, (u - tps) + (st.utb + c.utf) / (dt + sft(dt, -1, 0)),
-                KM1, slice(1, None), slice(None))
-        tps = jnp.sum(v[:kbm1] * dz3, axis=0)
-        v = put(v, (v - tps) + (st.vtb + c.vtf) / (dt + sft(dt, 0, -1)),
-                KM1, slice(None), slice(1, None))
+        from extpom_tpu.pallas import phases as pph
+        run = pph.runner(grid, cfg, fc) if pph.use_pallas_phases(cfg) \
+            else None
 
-        # vertical velocity (advance.f:396-400)
-        w = continuity.vertvl(grid, cfg, w, u, v, dt, etf, st.etb,
-                              st.vfluxb, fc.vflux)
-        w = bco.orl_w(grid, cfg, w)   # idx 5 is a pure mask in both schemes
-
-        # --- turbulence (advance.f:406-421) ---
-        q2f = tracers.advq(grid, cfg, q2b, q2, u, v, w, aam, dt,
-                           st.etb, etf)
-        q2lf = tracers.advq(grid, cfg, q2lb, q2l, u, v, w, aam, dt,
-                            st.etb, etf)
-        (q2f, q2lf, km, kh, kq, l, q2b, q2lb) = vertical.profq(
-            grid, cfg, q2f, q2lf, q2, q2b, q2lb, u, v, t, s, rho,
-            km, kh, kq, l, etf, fc.wusurf, fc.wvsurf, wubot, wvbot)
-        if cfg.bc_scheme == "orlanski":
-            q2f, q2lf = bco.orl_turb(grid, cfg, q2f, q2lf)
+        if run is not None:
+            u, v, w = run.uvw(u, v, w, dt, st.utb, st.vtb, c.utf, c.vtf,
+                              st.etb, etf, st.vfluxb, fc.vflux)
+            (q2, q2b, q2l, q2lb, km, kh, kq, l) = run.tke(
+                q2, q2b, q2l, q2lb, u, v, w, aam, t, s, rho,
+                km, kh, kq, l, dt, st.etb, etf, wubot, wvbot)
+            if cfg.mode != 4:
+                t, tb, s, sb, rho = run.tracer(
+                    t, tb, s, sb, tclim, sclim, u, ub, v, w, aam, kh,
+                    dt, st.etb, etf)
+            u, ub, v, vb, wubot, wvbot = run.mom(
+                u, ub, v, vb, w, advx, advy, drhox, drhoy, km,
+                dt, c.egf, st.egb, st.etb, etf, h + c.el)
         else:
-            q2f, q2lf = bcf.bc_turb(grid, cfg, q2f, q2lf, q2, q2l, u, v)
-
-        q2 = q2 + 0.5 * cfg.smoth * (q2f + q2b - 2.0 * q2)
-        q2l = q2l + 0.5 * cfg.smoth * (q2lf + q2lb - 2.0 * q2l)
-        q2b = q2
-        q2 = q2f
-        q2lb = q2l
-        q2l = q2lf
-
-        # --- tracers (advance.f:424-456) ---
-        if cfg.mode != 4:
-            adv = tracers.advt1 if cfg.nadv == 1 else tracers.advt2
-            tf = adv(grid, cfg, tb, t, tclim, u, v, w, aam, dt, st.etb, etf)
-            sf = adv(grid, cfg, sb, s, sclim, u, v, w, aam, dt, st.etb, etf)
-            tf = vertical.proft(grid, cfg, tf, fc.wtsurf, fc.tsurf,
-                                cfg.nbct, kh, etf, fc.swrad)
-            sf = vertical.proft(grid, cfg, sf, fc.wssurf, fc.ssurf,
-                                cfg.nbcs, kh, etf, fc.swrad)
-            if cfg.bc_scheme == "orlanski":
-                tf, sf = bco.orl_ts(grid, cfg, tf, sf, t, tb, s, sb, ub, fc)
-            else:
-                tf, sf = bcf.bc_ts(grid, cfg, tf, sf, t, s, u, v, w, dt, fc)
-
-            t = t + 0.5 * cfg.smoth * (tf + tb - 2.0 * t)
-            s = s + 0.5 * cfg.smoth * (sf + sb - 2.0 * s)
-            tb = t
-            t = tf
-            sb = s
-            s = sf
-
-            if cfg.do_restore:
-                # interior restoring toward climatology
-                # (bounds_forcing.f:1097-1118)
-                fac = 2.0 * cfg.dti / 86400.0 * fc.taurstr
-                A = (slice(None), slice(None))
-                t = put(t, (t + fac * (fc.trstr - t)) * grid.fsm, KM1, *A)
-                tb = put(tb, (tb + fac * (fc.trstr - tb)) * grid.fsm,
-                         KM1, *A)
-                s = put(s, (s + fac * (fc.srstr - s)) * grid.fsm, KM1, *A)
-                sb = put(sb, (sb + fac * (fc.srstr - sb)) * grid.fsm,
-                         KM1, *A)
-
-            rho = density.dens(grid, cfg, s, t)
-
-        # --- momentum (advance.f:459-521) ---
-        uf = momentum.advu(grid, cfg, u, ub, v, w, advx, drhox, dt,
-                           c.egf, st.egb, fc.e_atmos, st.etb, etf)
-        vf = momentum.advv(grid, cfg, v, vb, u, w, advy, drhoy, dt,
-                           c.egf, st.egb, fc.e_atmos, st.etb, etf)
-        uf, wubot = vertical.profu(grid, cfg, uf, ub, vb, km, etf, fc.wusurf)
-        vf, wvbot = vertical.profv(grid, cfg, vf, ub, vb, km, etf, fc.wvsurf)
-        if cfg.bc_scheme == "file":
-            uf, vf = bcf.bc_vel3d(grid, cfg, uf, vf, u, v, h + c.el, fc)
-        else:
-            uf, vf = bco.orl_vel3d(grid, cfg, uf, vf, u, ub, v, vb)
-
-        # Asselin filter with depth-mean correction (advance.f:469-509)
-        tps = jnp.sum((uf + ub - 2.0 * u)[:kbm1] * dz3, axis=0)
-        u = u + 0.5 * cfg.smoth * (uf + ub - 2.0 * u - tps)
-        tps = jnp.sum((vf + vb - 2.0 * v)[:kbm1] * dz3, axis=0)
-        v = v + 0.5 * cfg.smoth * (vf + vb - 2.0 * v - tps)
-        ub = u
-        u = uf
-        vb = v
-        v = vf
+            u, v, w = phase_uvw(grid, cfg, u, v, w, dt, st.utb, st.vtb,
+                                c.utf, c.vtf, st.etb, etf, st.vfluxb,
+                                fc.vflux)
+            (q2, q2b, q2l, q2lb, km, kh, kq, l) = phase_tke(
+                grid, cfg, q2, q2b, q2l, q2lb, u, v, w, aam, t, s, rho,
+                km, kh, kq, l, dt, st.etb, etf, wubot, wvbot, fc)
+            if cfg.mode != 4:
+                t, tb, s, sb, rho = phase_tracer(
+                    grid, cfg, t, tb, s, sb, tclim, sclim, u, ub, v, w,
+                    aam, kh, dt, st.etb, etf, fc)
+            u, ub, v, vb, wubot, wvbot = phase_mom(
+                grid, cfg, u, ub, v, vb, w, advx, advy, drhox, drhoy,
+                km, dt, c.egf, st.egb, st.etb, etf, h + c.el, fc)
 
     # final time-level copies (advance.f:525-531)
     return st.replace(

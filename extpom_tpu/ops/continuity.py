@@ -37,9 +37,13 @@ def vertvl(grid: Grid, cfg: Config,
     inc = (grid.dz3 * ((sft(xflux, 1, 0) - xflux + sft(yflux, 0, 1) - yflux)
                        / (dx * dy)
                        + (etf - etb) / cfg.dti2))
-    wcum = w[0][None] + jnp.cumsum(inc[:kbm1], axis=0)
-    w = put(w, jnp.concatenate([w[:1], wcum], axis=0),
-            *s_[1:, 1:-1, 1:-1])
+    # sequential downward sum (not jnp.cumsum): matches the reference's
+    # ascending-k loop association exactly and lowers through Mosaic inside
+    # the fused phase kernels (pallas/phases.py)
+    rows = [w[0]]
+    for k in range(kbm1):
+        rows.append(rows[-1] + inc[k])
+    w = put(w, jnp.stack(rows, axis=0), *s_[1:, 1:-1, 1:-1])
     return w
 
 

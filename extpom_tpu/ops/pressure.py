@@ -29,8 +29,17 @@ from extpom_tpu.ops.stencil import sft, sfk, put, set_i, set_j, set_k, s_
 
 
 def _cumk(inc: jnp.ndarray) -> jnp.ndarray:
-    """drho[k] = sum_{k'<=k} inc[k'] along leading axis."""
-    return jnp.cumsum(inc, axis=0)
+    """drho[k] = sum_{k'<=k} inc[k'] along leading axis.
+
+    Written as an unrolled sequential sum (kb is small and static) rather
+    than ``jnp.cumsum``: the strictly sequential association matches the
+    reference's ascending-k loop (solver.f:864-878) bit-for-bit, and the
+    expression lowers through Mosaic inside the fused Pallas phase kernels
+    (pallas/phases.py) where the cumsum primitive does not."""
+    rows = [inc[0]]
+    for k in range(1, inc.shape[0]):
+        rows.append(rows[-1] + inc[k])
+    return jnp.stack(rows, axis=0)
 
 
 def baropg(grid: Grid, cfg: Config,

@@ -90,9 +90,11 @@ def advt1(grid: Grid, cfg: Config,
     KM1 = slice(0, kbm1)
     z3 = jnp.zeros_like(f)
 
-    # ghost bottom layer (solver.f:495-496)
-    f = set_k(f, -1, f[-2])
-    fb = set_k(fb, -1, fb[-2])
+    # ghost bottom layer (solver.f:495-496); positive static indices —
+    # negative value-indexing lowers through dynamic_slice, which Mosaic
+    # cannot lower inside the fused phase kernels
+    f = set_k(f, -1, f[cfg.kb - 2])
+    fb = set_k(fb, -1, fb[cfg.kb - 2])
 
     xflux = put(z3, (0.25 * (dt + sft(dt, -1, 0)) * (f + sft(f, -1, 0)) * u), *s_[KM1, 1:, 1:])
     yflux = put(z3, (0.25 * (dt + sft(dt, 0, -1)) * (f + sft(f, 0, -1)) * v), *s_[KM1, 1:, 1:])
@@ -171,7 +173,7 @@ def advt2(grid: Grid, cfg: Config,
     xmassflux = put(z3, (0.25 * (sft(dy, -1, 0) + dy) * (sft(dt, -1, 0) + dt) * u), *s_[KM1, 1:, 1:-1])
     ymassflux = put(z3, (0.25 * (sft(dx, 0, -1) + dx) * (sft(dt, 0, -1) + dt) * v), *s_[KM1, 1:-1, 1:])
 
-    fb = set_k(fb, -1, fb[-2])   # solver.f:618
+    fb = set_k(fb, -1, fb[cfg.kb - 2])   # solver.f:618
     eta = etb                    # solver.f:619
     zwflux = w
     fbmem = fb

@@ -48,13 +48,30 @@ def _forward(a, c, den, r, ee0, gg0, k0, unroll: int = 1):
         gg = (rk + ck * ggp) * g_
         return (ee, gg), (ee, gg)
 
-    (_, _), (ees, ggs) = lax.scan(
-        body, (ee0, gg0), (a[k0:], c[k0:], den[k0:], r[k0:]),
-        unroll=min(unroll, a.shape[0] - k0) if unroll > 1 else 1)
+    n = a.shape[0] - k0
+    if unroll >= n:
+        # full unroll: straight-line Python loop (identical association);
+        # avoids the scan primitive so the same code lowers through Mosaic
+        # inside the fused Pallas phase kernels
+        ee, gg, ee_l, gg_l = ee0, gg0, [], []
+        for k in range(k0, a.shape[0]):
+            (ee, gg), _ = body((ee, gg), (a[k], c[k], den[k], r[k]))
+            ee_l.append(ee)
+            gg_l.append(gg)
+        ees = jnp.stack(ee_l, axis=0)
+        ggs = jnp.stack(gg_l, axis=0)
+    else:
+        (_, _), (ees, ggs) = lax.scan(
+            body, (ee0, gg0), (a[k0:], c[k0:], den[k0:], r[k0:]),
+            unroll=min(unroll, n) if unroll > 1 else 1)
     kb = a.shape[0]
-    pad = jnp.zeros((k0 - 1,) + ee0.shape, ee0.dtype)
-    ee = jnp.concatenate([pad, ee0[None], ees], axis=0)
-    gg = jnp.concatenate([pad, gg0[None], ggs], axis=0)
+    if k0 > 1:   # no zero-sized pad (Mosaic rejects 0-extent vectors)
+        pad = jnp.zeros((k0 - 1,) + ee0.shape, ee0.dtype)
+        lead = [pad, ee0[None]], [pad, gg0[None]]
+    else:
+        lead = [ee0[None]], [gg0[None]]
+    ee = jnp.concatenate(lead[0] + [ees], axis=0)
+    gg = jnp.concatenate(lead[1] + [ggs], axis=0)
     assert ee.shape[0] == kb
     return ee, gg
 
@@ -67,8 +84,17 @@ def _backward(ee, gg, f_last, k_last, unroll: int = 1):
         fk = eek * fnext + ggk
         return fk, fk
 
-    _, fs = lax.scan(body, f_last, (ee[:k_last], gg[:k_last]), reverse=True,
-                     unroll=min(unroll, k_last) if unroll > 1 else 1)
+    if unroll >= k_last:
+        # full unroll (see _forward): Mosaic-compatible straight-line code
+        f, fs = f_last, []
+        for k in range(k_last - 1, -1, -1):
+            f = ee[k] * f + gg[k]
+            fs.append(f)
+        fs = jnp.stack(fs[::-1], axis=0)
+    else:
+        _, fs = lax.scan(body, f_last, (ee[:k_last], gg[:k_last]),
+                         reverse=True,
+                         unroll=min(unroll, k_last) if unroll > 1 else 1)
     return jnp.concatenate([fs, f_last[None]], axis=0)
 
 
@@ -349,14 +375,17 @@ def profq(grid: Grid, cfg: Config,
                  mask=ones2, k0=1, k_last=kb - 1)
 
     # ---- q2l solve (solver.f:1415-1455) ----
+    # (1, 1)-shaped level reads (z[k], not z[k, 0, 0]) broadcast identically
+    # and avoid vector-element extracts Mosaic cannot lower in the fused
+    # phase kernels
     q2lf = set_k(set_k(q2lf, 0, 0.0), kb - 1, 0.0)
     ee1 = jnp.zeros_like(h)
-    gg1 = -cfg.kappa * z[1, 0, 0] * dh * q2[1]
+    gg1 = -cfg.kappa * z[1] * dh * q2[1]
     q2lf = set_k(q2lf, kb - 2,
-                 cfg.kappa * (1.0 + z[kbm1 - 1, 0, 0]) * dh * q2[kbm1 - 1])
+                 cfg.kappa * (1.0 + z[kbm1 - 1]) * dh * q2[kbm1 - 1])
     # wall-proximity dissipation enhancement (solver.f:1426-1435)
-    dzk = jnp.abs(z - z[0, 0, 0])
-    dzkb = jnp.abs(z - z[kb - 1, 0, 0])
+    dzk = jnp.abs(z - z[0])
+    dzkb = jnp.abs(z - z[kb - 1])
     wallfac = jnp.where(
         (dzk > 0) & (dzkb > 0),
         1.0 + e2 * ((1.0 / jnp.where(dzk == 0, 1.0, dzk)

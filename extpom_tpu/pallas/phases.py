@@ -1,0 +1,425 @@
+"""Fused halo-window Pallas kernels for the internal (3-D) mode phases.
+
+The full 3-D step is LAUNCH-bound on a single chip: the XLA path emits
+~1600 device kernels per step with a ~2.8 us mean (ROOFLINE.md round-2
+census) while the minimum HBM traffic of the internal mode is well under a
+millisecond.  The fix is structural: run each internal-mode phase —
+depth-mean/vertical-velocity (advance.f:364-400), the TKE pair + MY-2.5
+closure (advance.f:406-421, solver.f:411-477/1212-1538), the tracer step
+(advance.f:424-456, solver.f:480-731/1541-1683), and the momentum step
+(advance.f:459-521, solver.f:734-845/1686-1877) — as a handful of BIG
+Pallas kernels instead of hundreds of tiny ones.
+
+Geometry: fields are (kb, im, jm) (or (im, jm)); each kernel instance
+processes an i-stripe of ``Bi`` rows.  Because the phase bodies contain
+horizontal stencils (and chains of them), each instance reads a HALO
+WINDOW of ``W = Bi + 2H`` rows: the kernel DMAs every operand's window
+HBM->VMEM (``pl.ds`` with sublane-aligned dynamic starts), evaluates the
+WHOLE phase on the resident window, and DMAs only the Bi-row interior of
+each output back.  At the domain edges the window start clamps to the
+boundary, so the zero-fill semantics of the local shifts (ops.stencil.sft)
+coincide with the global ones exactly where results are committed.
+
+Source of truth: the kernel bodies call the SAME phase functions
+(core.stepper.phase_uvw/tke/tracer/mom) and op library used by the XLA
+path, under a ``windowed`` DomainCtx so region masks resolve against
+global indices (ops/stencil.py).  The two paths agree to roundoff and are
+maintained together; tests/test_phases.py asserts equality in interpret
+mode at float64.
+
+Halo sufficiency: H must cover the total chained stencil radius of a
+phase (worst chain: advection radius 2 + closure/BC radius ~2).  H = 8
+(one sublane tile) is comfortably above every phase's radius and keeps
+every DMA start 8-aligned; correctness does not depend on tuning it down.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PLTPU = True
+except ImportError:          # pragma: no cover
+    _HAVE_PLTPU = False
+
+from extpom_tpu.core.config import Config
+
+
+def use_pallas_phases(cfg: Config) -> bool:
+    """Static dispatch decision (trace time), same contract as
+    extloop.use_pallas_ext: "on" forces (interpret off-TPU), "off"
+    disables, "auto" enables on a single-TPU f32 trace when the geometry
+    supports aligned windows."""
+    from extpom_tpu.ops import stencil
+    if cfg.pallas_phases == "off" or not _HAVE_PLTPU:
+        return False
+    ctx = stencil._ctx()
+    if ctx is not None and ctx.block:
+        # shard_map local / windowed trace: stencils must stay jnp
+        return False
+    if not _geometry_ok(cfg):
+        return False
+    if cfg.pallas_phases == "on":
+        return True
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and cfg.dtype == "float32"
+            and cfg.im_act in (None, cfg.im)
+            and cfg.jm_act in (None, cfg.jm))
+
+
+def effective_block(cfg: Config) -> int:
+    """Interior rows per kernel instance, scaled so the VMEM working set
+    stays roughly at the tuned (jm=256, kb=31, Bi=64) level: window bytes
+    scale with (Bi + 2H) * jm * kb, and Bi=64 is the measured optimum at
+    the bench size (576 Mpt-steps/s; 80+ OOMs Mosaic)."""
+    H = cfg.phase_halo
+    w_ref = (64 + 2 * H) * 256 * 31
+    w_max = w_ref // max(cfg.jm * cfg.kb, 1)
+    bi = min(cfg.phase_block, (w_max - 2 * H) // 8 * 8)
+    return max(bi, 8)
+
+
+def _geometry_ok(cfg: Config) -> bool:
+    bi, h = effective_block(cfg), cfg.phase_halo
+    return (cfg.im % 8 == 0 and bi % 8 == 0 and h % 8 == 0
+            and cfg.im >= bi + 2 * h and cfg.kb != cfg.im)
+
+
+# ---------------------------------------------------------------------------
+# generic halo-window runner
+# ---------------------------------------------------------------------------
+
+def _is_windowed(arr, im: int, jm: int) -> bool:
+    """Fields with an i axis at position -2 get halo-windowed; everything
+    else (vertical columns, j-side series, broadcast scalars) is VMEM-
+    replicated whole.  i-side boundary series are passed pre-shaped as
+    (..., im, 1)."""
+    if arr.ndim < 2:
+        return False
+    return arr.shape[-2] == im and arr.shape[-1] in (jm, 1)
+
+
+def _win_shape(shape, W: int):
+    return shape[:-2] + (W,) + shape[-1:]
+
+
+def _block_shape(shape, Bi: int):
+    return shape[:-2] + (Bi,) + shape[-1:]
+
+
+def _kernel(im: int, Bi: int, H: int, n_win: int, n_rep: int, n_out: int,
+            body: Callable, *refs):
+    W = Bi + 2 * H
+    win_refs = refs[:n_win]
+    rep_refs = refs[n_win:n_win + n_rep]
+    out_refs = refs[n_win + n_rep:n_win + n_rep + n_out]
+    scr = refs[n_win + n_rep + n_out:]
+    win_scr = scr[:n_win]
+    out_scr = scr[n_win:n_win + n_out]
+    sem_in, sem_out = scr[n_win + n_out:]
+
+    i = pl.program_id(0)
+    j0 = pl.multiple_of(jnp.minimum(i * Bi, im - Bi), 8)
+    start = pl.multiple_of(jnp.clip(j0 - H, 0, im - W), 8)
+    off = pl.multiple_of(j0 - start, 8)
+
+    # window copies in (issue all, then wait all)
+    copies = []
+    for k, (r, s) in enumerate(zip(win_refs, win_scr)):
+        pre = (slice(None),) * (len(r.shape) - 2)
+        cp = pltpu.make_async_copy(
+            r.at[pre + (pl.ds(start, W), slice(None))], s, sem_in.at[k])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+    win_vals = [s[:] for s in win_scr]
+    rep_vals = [r[:] for r in rep_refs]
+
+    out_vals = body(win_vals, rep_vals, start)
+
+    copies = []
+    for k, (val, s, r) in enumerate(zip(out_vals, out_scr, out_refs)):
+        s[:] = val
+        pre = (slice(None),) * (len(r.shape) - 2)
+        cp = pltpu.make_async_copy(
+            s.at[pre + (pl.ds(off, Bi), slice(None))],
+            r.at[pre + (pl.ds(j0, Bi), slice(None))], sem_out.at[k])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+
+def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
+                   out_templates: Sequence, interpret: bool = False):
+    """Run ``body`` over halo-windowed i-stripes.
+
+    ``arrays``: phase operands; fields with an i axis ((.., im, jm) or
+    (.., im, 1)) are halo-windowed, the rest VMEM-replicated whole.
+    ``body(win_vals, rep_vals, start) -> out_vals`` receives the windowed
+    values (in ``arrays`` order), the replicated values (ditto), and the
+    traced global row index of window row 0; it returns window-shaped
+    outputs matching ``out_templates`` ((.., im, jm) ShapeDtypeStructs or
+    arrays), whose Bi-row interiors are committed.
+    """
+    from extpom_tpu.ops import stencil
+
+    im = cfg.im
+    Bi, H = effective_block(cfg), cfg.phase_halo
+    W = Bi + 2 * H
+    jm = cfg.jm
+    im_act = cfg.im_act or im
+    jm_act = cfg.jm_act or jm
+
+    win_idx = [k for k, a in enumerate(arrays) if _is_windowed(a, im, jm)]
+    rep_idx = [k for k, a in enumerate(arrays) if k not in win_idx]
+    win_in = [arrays[k] for k in win_idx]
+    rep_in = [arrays[k] for k in rep_idx]
+
+    def kernel_body(win_vals, rep_vals, start):
+        vals = [None] * len(arrays)
+        for k, v in zip(win_idx, win_vals):
+            vals[k] = v
+        for k, v in zip(rep_idx, rep_vals):
+            vals[k] = v
+        # region masks resolve against GLOBAL row indices: local window
+        # iota + start (the exchange2d/3d-free analogue of the reference's
+        # per-rank i_global maps, parallel_mpi.f:88-105)
+        with stencil.domain(stencil.DomainCtx(
+                im=im_act, jm=jm_act, windowed=True, off_i=start)):
+            return body(vals, start)
+
+    n_win, n_rep, n_out = len(win_in), len(rep_in), len(out_templates)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct(t.shape, t.dtype)
+                      for t in out_templates)
+    scratch = ([pltpu.VMEM(_win_shape(a.shape, W), a.dtype)
+                for a in win_in]
+               + [pltpu.VMEM(_win_shape(t.shape, W), t.dtype)
+                  for t in out_templates]
+               + [pltpu.SemaphoreType.DMA((max(n_win, 1),)),
+                  pltpu.SemaphoreType.DMA((max(n_out, 1),))])
+
+    grid = (-(-im // Bi),)
+    kern = functools.partial(_kernel, im, Bi, H, n_win, n_rep, n_out,
+                             kernel_body)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[any_spec] * n_win + [vmem] * n_rep,
+        out_specs=tuple(any_spec for _ in out_templates),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
+            if (_HAVE_PLTPU and not interpret) else None),
+    )(*win_in, *rep_in)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# phase adapters
+# ---------------------------------------------------------------------------
+
+_GRID_WIN = ("h", "dx", "dy", "fsm", "dum", "dvm", "cor", "art", "aru",
+             "arv", "cbc")
+_GRID_REP = ("dz3", "dzz3", "z3", "zz3")
+
+
+class _GridNS(SimpleNamespace):
+    """Window-valued grid namespace; .dz/.dzz/.z/.zz fall back to the
+    (kb, 1, 1) 3-D columns (broadcast-identical in every op use)."""
+
+    @property
+    def dz(self):
+        return self.dz3
+
+    @property
+    def dzz(self):
+        return self.dzz3
+
+    @property
+    def z(self):
+        return self.z3
+
+    @property
+    def zz(self):
+        return self.zz3
+
+
+def _grid_arrays(grid) -> List:
+    dt_ = grid.h.dtype
+    jm = grid.h.shape[-1]
+    kb = grid.z.shape[0]
+    arrs = [getattr(grid, f) for f in _GRID_WIN]
+    # vertical columns broadcast to (kb, 1, jm): Mosaic can broadcast
+    # sublanes OR lanes, not both, so the lane dim is pre-expanded here
+    # (tiny: kb x jm) and only the sublane broadcast happens in-kernel
+    arrs += [jnp.broadcast_to(jnp.asarray(getattr(grid, f), dt_),
+                              (kb, 1, jm)) for f in _GRID_REP]
+    arrs.append(jnp.broadcast_to(jnp.asarray(grid.hmax, dt_), (1, jm)))
+    return arrs
+
+
+def _grid_ns(vals) -> _GridNS:
+    ns = _GridNS()
+    n2 = len(_GRID_WIN)
+    for f, v in zip(_GRID_WIN, vals[:n2]):
+        setattr(ns, f, v)
+    for f, v in zip(_GRID_REP, vals[n2:n2 + len(_GRID_REP)]):
+        setattr(ns, f, v)
+    ns.hmax = vals[n2 + len(_GRID_REP)]
+    return ns
+
+
+_N_GRID = len(_GRID_WIN) + len(_GRID_REP) + 1
+
+
+def _shape_iseries(a, cfg: Config):
+    """(.., im) i-side boundary series -> full (.., im, jm) field so the
+    runner windows it with a 128-aligned lane extent (Mosaic cannot DMA
+    1-lane slices); bcond._bi/_bj pass the 3-D form through.  The
+    materialization is small (one j-replicated field per used series)."""
+    return jnp.broadcast_to(a[..., :, None], a.shape + (cfg.jm,))
+
+
+class runner:
+    """Per-trace phase dispatcher: builds the fused kernels lazily with
+    grid/cfg/fc closed over, mirroring the signatures of
+    core.stepper.phase_* minus (grid, cfg, fc)."""
+
+    def __init__(self, grid, cfg: Config, fc):
+        self.grid = grid
+        self.cfg = cfg
+        self.fc = fc
+        self.interpret = jax.default_backend() != "tpu"
+
+    # -- shared plumbing ---------------------------------------------------
+
+    def _run(self, phase_fn, fc_fields, fc_iseries, arrays, n_out3, n_out2,
+             extra_rep=()):
+        """arrays: the phase's own operands (windowed/replicated by shape).
+        fc_fields: names of 2-D (im, jm) / (kb, side) forcing fields used;
+        fc_iseries: names of (.., im) series (pre-shaped to (.., im, 1)).
+        Returns phase_fn's outputs; phase_fn(grid_ns, cfg, fc_ns, *vals).
+        """
+        cfg, fc = self.cfg, self.fc
+        dt_ = arrays[0].dtype
+        im, jm, kb = cfg.im, cfg.jm, cfg.kb
+        garrs = _grid_arrays(self.grid)
+        fcarrs = [jnp.asarray(getattr(fc, f), dt_) for f in fc_fields]
+        fcarrs += [_shape_iseries(jnp.asarray(getattr(fc, f), dt_), cfg)
+                   for f in fc_iseries]
+        all_in = garrs + fcarrs + list(arrays) + list(extra_rep)
+
+        n_fc = len(fc_fields) + len(fc_iseries)
+        n_arr = len(arrays)
+
+        def body(vals, start):
+            gns = _grid_ns(vals[:_N_GRID])
+            fcv = vals[_N_GRID:_N_GRID + n_fc]
+            fcns = SimpleNamespace(**dict(zip(
+                list(fc_fields) + list(fc_iseries), fcv)))
+            pvals = vals[_N_GRID + n_fc:_N_GRID + n_fc + n_arr]
+            evals = vals[_N_GRID + n_fc + n_arr:]
+            return phase_fn(gns, cfg, fcns, *pvals, *evals)
+
+        t3 = jax.ShapeDtypeStruct((kb, im, jm), dt_)
+        t2 = jax.ShapeDtypeStruct((im, jm), dt_)
+        outs = [t3] * n_out3 + [t2] * n_out2
+        return windowed_phase(cfg, body, all_in, outs,
+                              interpret=self.interpret)
+
+    # -- phases ------------------------------------------------------------
+
+    def uvw(self, u, v, w, dt, utb, vtb, utf, vtf, etb, etf, vfluxb,
+            vflux):
+        from extpom_tpu.core import stepper
+
+        def fn(gns, cfg, fcns, u, v, w, dt, utb, vtb, utf, vtf, etb, etf,
+               vfluxb):
+            return stepper.phase_uvw(gns, cfg, u, v, w, dt, utb, vtb,
+                                     utf, vtf, etb, etf, vfluxb,
+                                     fcns.vflux)
+
+        return self._run(fn, ("vflux",), (),
+                         [u, v, w, dt, utb, vtb, utf, vtf, etb, etf,
+                          vfluxb], 3, 0)
+
+    def tke(self, q2, q2b, q2l, q2lb, u, v, w, aam, t, s, rho,
+            km, kh, kq, l, dt, etb, etf, wubot, wvbot):
+        from extpom_tpu.core import stepper
+
+        def fn(gns, cfg, fcns, *vals):
+            (q2, q2b, q2l, q2lb, u, v, w, aam, t, s, rho,
+             km, kh, kq, l, dt, etb, etf, wubot, wvbot) = vals
+            return stepper.phase_tke(gns, cfg, q2, q2b, q2l, q2lb,
+                                     u, v, w, aam, t, s, rho,
+                                     km, kh, kq, l, dt, etb, etf,
+                                     wubot, wvbot, fcns)
+
+        return self._run(fn, ("wusurf", "wvsurf"), (),
+                         [q2, q2b, q2l, q2lb, u, v, w, aam, t, s, rho,
+                          km, kh, kq, l, dt, etb, etf, wubot, wvbot],
+                         8, 0)
+
+    def tracer(self, t, tb, s, sb, tclim, sclim, u, ub, v, w, aam, kh,
+               dt, etb, etf):
+        from extpom_tpu.core import stepper
+        cfg = self.cfg
+
+        fc2 = ["wtsurf", "tsurf", "wssurf", "ssurf", "swrad"]
+        if cfg.do_restore:
+            fc2 += ["trstr", "srstr", "taurstr"]
+        iseries: tuple = ()
+        if cfg.bc_scheme != "orlanski":
+            fc2 += ["tbw", "tbe", "sbw", "sbe"]
+            iseries = ("tbs", "tbn", "sbs", "sbn")
+        else:
+            fc2 += ["tbw", "tbe", "sbw", "sbe"]
+
+        def fn(gns, cfg, fcns, *vals):
+            (t, tb, s, sb, tclim, sclim, u, ub, v, w, aam, kh,
+             dt, etb, etf) = vals
+            if not cfg.do_restore:
+                fcns.trstr = fcns.srstr = fcns.taurstr = None
+            return stepper.phase_tracer(gns, cfg, t, tb, s, sb,
+                                        tclim, sclim, u, ub, v, w, aam,
+                                        kh, dt, etb, etf, fcns)
+
+        return self._run(fn, tuple(fc2), iseries,
+                         [t, tb, s, sb, tclim, sclim, u, ub, v, w, aam,
+                          kh, dt, etb, etf], 5, 0)
+
+    def mom(self, u, ub, v, vb, w, advx, advy, drhox, drhoy, km,
+            dt, egf, egb, etb, etf, d):
+        from extpom_tpu.core import stepper
+        cfg = self.cfg
+
+        fc2 = ["e_atmos", "wusurf", "wvsurf"]
+        iseries: tuple = ()
+        if cfg.bc_scheme == "file":
+            fc2 += ["ubw", "ube", "vbw", "vbe"]
+            iseries = ("ubs", "ubn", "vbs", "vbn")
+
+        def fn(gns, cfg, fcns, *vals):
+            (u, ub, v, vb, w, advx, advy, drhox, drhoy, km,
+             dt, egf, egb, etb, etf, d) = vals
+            return stepper.phase_mom(gns, cfg, u, ub, v, vb, w,
+                                     advx, advy, drhox, drhoy, km, dt,
+                                     egf, egb, etb, etf, d, fcns)
+
+        return self._run(fn, tuple(fc2), iseries,
+                         [u, ub, v, vb, w, advx, advy, drhox, drhoy,
+                          km, dt, egf, egb, etb, etf, d], 4, 2)

@@ -51,18 +51,27 @@ from extpom_tpu.core.config import Config
 
 
 def use_pallas_tridiag(cfg: Config) -> bool:
-    """Static dispatch: single-TPU jit traces only (a pallas_call under
-    GSPMD would not be partitioned; the shard_map/windowed paths keep the
-    XLA scan)."""
+    """Static dispatch; "on" forces (single-device or shard_map local —
+    the solve is horizontally pointwise so it runs unchanged on local
+    blocks), "auto" resolves to OFF.
+
+    Round-3 measurement: enabling this by default was the r2 bench
+    regression (256^2x31 scanned segments: 392 vs 410 Mpt-steps/s with it
+    off; 25 vs 63 Mpt-steps/s step-at-a-time at 128^2x21) — the per-solve
+    pallas_call + flatten/pad glue costs more than the removed XLA
+    slice/copy launches.  The fused phase kernels (pallas/phases.py) now
+    absorb the vertical solves on the fast path, so this standalone kernel
+    remains only as an explicitly forced option."""
     from extpom_tpu.ops import stencil
     if cfg.pallas_tridiag == "off" or not _HAVE_PLTPU:
         return False
     ctx = stencil._ctx()
-    if ctx is not None and ctx.block:
+    if ctx is not None and ctx.windowed:
+        # inside a halo-window phase kernel: no nested pallas_call
         return False
     if cfg.pallas_tridiag == "on":
         return True
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return False
 
 
 def _kernel(k0: int, k_last: int, kb: int, *refs):

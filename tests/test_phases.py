@@ -1,0 +1,91 @@
+"""Fused phase-kernel oracles: the halo-window Pallas internal-mode path
+(pallas/phases.py) must reproduce the XLA phase path — same phase source
+(core/stepper.py), so equality checks the windowing/halo machinery."""
+
+import jax
+import numpy as np
+import pytest
+
+from extpom_tpu.cases.seamount import seamount_model
+from extpom_tpu.cases.channel import channel_model
+from extpom_tpu.core import stepper
+
+FIELDS = ("el", "elb", "ua", "uab", "va", "vab", "etf", "utb", "vtb",
+          "egb", "u", "ub", "v", "vb", "w", "t", "tb", "s", "sb", "rho",
+          "q2", "q2b", "q2l", "q2lb", "km", "kh", "kq", "l",
+          "wubot", "wvbot")
+
+
+def _run_seamount(phases: str, n: int = 3, **kw):
+    m = seamount_model(im=32, jm=48, kb=7, donate=False, dtype="float64",
+                       isplit=6, pallas_ext="off", pallas_phases=phases,
+                       phase_block=8, phase_halo=8, **kw)
+    fc = m.forcing_at(1)
+
+    @jax.jit
+    def go(st):
+        st = stepper.step(m.grid, m.cfg, st, fc, m.rmean, m.tclim, m.sclim,
+                          first=True)
+        for _ in range(n - 1):
+            st = stepper.step(m.grid, m.cfg, st, fc, m.rmean, m.tclim,
+                              m.sclim, first=False)
+        return st
+
+    return go(m.state)
+
+
+def _assert_state_close(got, ref, atol=1e-12):
+    for name in FIELDS:
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=atol, err_msg=name)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),                       # extpom mix (bcond 1,2,4,6 + orl 3,5)
+    dict(bc_scheme="orlanski"),
+    dict(mode=4),                 # frozen T/S: tracer phase skipped
+    dict(nadv=2, nitera=2),       # MPDATA tracer scheme inside the kernel
+])
+def test_phases_match_xla_seamount(kw):
+    ref = _run_seamount("off", **kw)
+    got = _run_seamount("on", **kw)    # interpreted off-TPU
+    _assert_state_close(got, ref)
+
+
+def test_phases_match_xla_channel():
+    """File-driven BCs (bcond idx 3/4 with boundary series, restoring) —
+    exercises the i-side series windows and the restore branch."""
+    def run(phases):
+        m = channel_model(im=32, jm=24, kb=7,
+                          dtype="float64", isplit=6, pallas_ext="off",
+                          pallas_phases=phases, phase_block=8,
+                          phase_halo=8, do_restore=True)
+        fc = m.forcing_at(1)
+
+        @jax.jit
+        def go(st):
+            st = stepper.step(m.grid, m.cfg, st, fc, m.rmean, m.tclim,
+                              m.sclim, first=True)
+            for _ in range(2):
+                st = stepper.step(m.grid, m.cfg, st, fc, m.rmean,
+                                  m.tclim, m.sclim, first=False)
+            return st
+
+        return go(m.state)
+
+    ref = run("off")
+    got = run("on")
+    _assert_state_close(got, ref)
+
+
+def test_phase_geometry_gate():
+    from extpom_tpu.pallas.phases import use_pallas_phases
+    from extpom_tpu.core.config import Config
+    # im not a multiple of 8 -> no windowed dispatch even when forced
+    assert not use_pallas_phases(Config(im=33, jm=33, kb=7,
+                                        pallas_phases="on"))
+    # too small for one window
+    assert not use_pallas_phases(Config(im=16, jm=33, kb=7,
+                                        pallas_phases="on",
+                                        phase_block=8, phase_halo=8))
