@@ -45,9 +45,17 @@ def _bi(a1d: jnp.ndarray) -> jnp.ndarray:
     """Broadcast an (im,) or (kb, im) boundary series along the j axis.
 
     Full-rank 3-D fields (the pre-broadcast windowed form used inside the
-    Pallas phase kernels) pass through unchanged."""
+    Pallas phase kernels) pass through unchanged, as do 2-D (im, jm)
+    pre-broadcast series inside i-windowed kernels (pallas/extwin.py) —
+    there every legitimately-1-D series arrives pre-broadcast, and a
+    window slice of a 1-D series could not be row-aligned anyway."""
     if a1d.ndim >= 3:
         return a1d
+    if a1d.ndim == 2:
+        from extpom_tpu.ops.stencil import _ctx
+        c = _ctx()
+        if c is not None and c.windowed:
+            return a1d
     return a1d[..., :, None]
 
 

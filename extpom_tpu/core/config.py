@@ -133,6 +133,14 @@ class Config:
     phase_halo: int = 8        # halo rows per side (>= total chained
                                # stencil radius of any one phase; multiple
                                # of 8 for sublane-aligned DMA starts)
+    # Halo-window Pallas external loop (pallas/extwin.py): for grids
+    # beyond the whole-grid VMEM kernel, runs extwin_chunk substeps per
+    # manual-DMA window pass over i-stripes — isplit/C full-grid HBM
+    # passes instead of isplit.  "auto" uses it on a single TPU when the
+    # whole-grid kernel does not fit; "on" forces (interpreted off-TPU).
+    pallas_extwin: str = "auto"
+    extwin_chunk: int = 10     # substeps per window pass (C; clipped to a
+                               # divisor of isplit)
     # Chunked grid-blocked external loop (ops/extblock.py): runs
     # ext_chunk substeps per HBM pass over overlapping halo windows —
     # the traffic reduction of the Pallas kernel at sizes beyond VMEM.

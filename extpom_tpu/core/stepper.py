@@ -454,11 +454,16 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
                       wubot=wubot, wvbot=wvbot)
     aux = (adx2d, ady2d, drx2d, dry2d, aam2d)
 
-    from extpom_tpu.pallas import extloop
+    from extpom_tpu.pallas import extloop, extwin
     from extpom_tpu.ops import extblock
     if extloop.use_pallas_ext(cfg):
         # whole loop VMEM-resident: one HBM read+write of the 2-D state
         carry = extloop.run_external_loop(
+            grid, cfg, carry0, fc, aux,
+            interpret=jax.default_backend() != "tpu")
+    elif extwin.use_pallas_extwin(cfg):
+        # beyond VMEM: C substeps per manual-DMA halo-window pass
+        carry = extwin.run_external_loop_windowed(
             grid, cfg, carry0, fc, aux,
             interpret=jax.default_backend() != "tpu")
     elif extblock.use_blocked_ext(cfg):

@@ -63,10 +63,20 @@ class DomainCtx:
     off_i: Any = 0               # global row offset of this block (traced)
     off_j: Any = 0
     windowed: bool = False       # arrays are overlapping halo WINDOWS of
-                                 # the global domain (ops.extblock): region
-                                 # masks use global indices, shifts stay
-                                 # local (progressive halo invalidation is
-                                 # accounted for by the window trim)
+                                 # the global domain (ops.extblock,
+                                 # pallas.phases): region masks use global
+                                 # indices, shifts stay local (progressive
+                                 # halo invalidation is accounted for by
+                                 # the window trim)
+    edge_slice: bool = False     # windowed only: the window layout is
+                                 # pad-free AND edge windows are clamped to
+                                 # the domain boundary, so a global edge
+                                 # row i maps to local row i % W in the
+                                 # window that owns it — set_i can slice
+                                 # the full-field expression to one row
+                                 # (O(edge) instead of O(window) work; the
+                                 # region mask kills the wrong-row value in
+                                 # every other window)
 
     @property
     def local(self) -> bool:
@@ -284,10 +294,17 @@ def set_i(base: jnp.ndarray, i: int, val,
     ctx = _ctx()
     region = (i, j) if base.ndim == 2 else (k, i, j)
     val = jnp.asarray(val, base.dtype)
-    if val.ndim == base.ndim and not (ctx is not None and ctx.block):
-        n = ctx.im if ctx is not None else base.shape[-2]
-        # broadcast-shaped expressions (size-1 i axis) read their only row
-        val = val[..., (i % n) if val.shape[-2] != 1 else 0, :]
+    if val.ndim == base.ndim:
+        if not (ctx is not None and ctx.block):
+            n = ctx.im if ctx is not None else base.shape[-2]
+            # broadcast-shaped expressions (size-1 i axis) read their row
+            val = val[..., (i % n) if val.shape[-2] != 1 else 0, :]
+        elif ctx.windowed and ctx.edge_slice:
+            # edge windows are boundary-clamped: global row i lives at
+            # local row i % W in the window that owns it; elsewhere the
+            # region mask discards the (wrong-row) value
+            w = base.shape[-2]
+            val = val[..., (i % w) if val.shape[-2] != 1 else 0, :]
     return put(base, _expand(base, val, -2, i), *region)
 
 
@@ -298,7 +315,15 @@ def set_j(base: jnp.ndarray, j: int, val,
     ctx = _ctx()
     region = (i, j) if base.ndim == 2 else (k, i, j)
     val = jnp.asarray(val, base.dtype)
-    if val.ndim == base.ndim and not (ctx is not None and ctx.block):
+    j_whole = (ctx is None
+               or (not ctx.local
+                   and (not ctx.windowed
+                        or (isinstance(ctx.off_j, int) and ctx.off_j == 0
+                            and base.shape[-1] >= ctx.jm))))
+    if val.ndim == base.ndim and j_whole:
+        # the j axis is not blocked here (pallas.phases windows only i;
+        # ops.extblock carries a traced off_j and is excluded), so the
+        # global column slicing applies — O(edge) column writes
         n = ctx.jm if ctx is not None else base.shape[-1]
         val = val[..., :, (j % n) if val.shape[-1] != 1 else 0]
     return put(base, _expand(base, val, -1, j), *region)

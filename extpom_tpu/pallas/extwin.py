@@ -1,0 +1,216 @@
+"""Halo-window Pallas external-mode loop for grids beyond VMEM.
+
+The whole-grid VMEM-resident kernel (pallas/extloop.py) holds every 2-D
+field on-chip for all ``isplit`` substeps, but only fits up to ~512^2 f32
+on a v5e.  Above that the XLA ``fori_loop`` path round-trips the ~48-field
+working set through HBM EVERY substep (measured 44-46 % of the roofline at
+1024^2, ROOFLINE.md round 2), and the XLA-materialized window gather
+(ops/extblock.py) loses to its own pad/reassemble traffic.
+
+This kernel applies temporal tiling with MANUAL windows, the scheme the
+reference's halo machinery exists to serve (advance.f:205-353,
+parallel_mpi.f:154-239): split the i axis into stripes of ``Bi`` rows;
+for each stripe, DMA a ``W = Bi + 2H`` row window of every field
+HBM->VMEM, run ``C`` consecutive substeps entirely in VMEM (each substep
+consumes halo rows — H must cover ``C x ext_halo_sub``), and write the
+Bi-row interiors of the carry back.  HBM traffic drops from
+``isplit`` full passes to ``isplit/C`` window passes.
+
+The physics is the same :func:`extpom_tpu.core.stepper.
+mode_external_substep` used by every other external path, evaluated under
+a windowed DomainCtx (global region masks, boundary-clamped edge windows,
+O(edge) edge writes via ``edge_slice``).
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PLTPU = True
+except ImportError:          # pragma: no cover
+    _HAVE_PLTPU = False
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.grid import Grid
+from extpom_tpu.pallas.extloop import (CARRY_FIELDS, GRID_FIELDS,
+                                       AUX_FIELDS, FC_2D_FIELDS,
+                                       FC_1D_J, FC_1D_I, fits_vmem)
+
+
+def chunk_geometry(cfg: Config):
+    """(C substeps per pass, H halo rows, Bi interior rows) for this
+    config.  C divides isplit; H covers C x ext_halo_sub rounded up to a
+    sublane tile; Bi targets a ~55 MB window set scaled by jm."""
+    isplit = cfg.isplit
+    C = min(cfg.extwin_chunk, isplit)
+    while isplit % C:
+        C -= 1
+    H = -(-(C * cfg.ext_halo_sub) // 8) * 8
+    # ~48 live fields + temporaries; budget ~55 MB of windows
+    w_max = 55 * 2 ** 20 // (80 * 4 * cfg.jm)
+    bi = max((w_max - 2 * H) // 8 * 8, 8)
+    return C, H, min(bi, max(cfg.im // 8 * 8 - 2 * H, 8))
+
+
+def use_pallas_extwin(cfg: Config) -> bool:
+    """Static dispatch: the chunked window kernel serves grids too large
+    for the whole-grid VMEM loop."""
+    from extpom_tpu.ops import stencil
+    if cfg.pallas_extwin == "off" or not _HAVE_PLTPU:
+        return False
+    ctx = stencil._ctx()
+    if ctx is not None and ctx.block:
+        return False
+    C, H, Bi = chunk_geometry(cfg)
+    if not (cfg.im % 8 == 0 and cfg.im >= Bi + 2 * H and C >= 1):
+        return False
+    if cfg.pallas_extwin == "on":
+        return True
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and cfg.dtype == "float32" and not fits_vmem(cfg)
+            and cfg.im_act in (None, cfg.im)
+            and cfg.jm_act in (None, cfg.jm))
+
+
+def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
+            win_names, rep_names, *refs):
+    """One chunk over one i-stripe: DMA windows in, C substeps VMEM-
+    resident, DMA carry interiors out."""
+    from extpom_tpu.core import stepper
+    from extpom_tpu.ops import stencil
+
+    im, jm = cfg.im, cfg.jm
+    W = Bi + 2 * H
+    n_rep = len(rep_names)
+    n_out = len(CARRY_FIELDS)
+
+    it = iter(refs)
+    win_refs = [next(it) for _ in range(n_win)]
+    rep_refs = [next(it) for _ in range(n_rep)]
+    smem_ref = next(it)                       # (1, 2): ramp, iext0
+    out_refs = [next(it) for _ in range(n_out)]
+    win_scr = [next(it) for _ in range(n_win)]
+    out_scr = [next(it) for _ in range(n_out)]
+    sem_in = next(it)
+    sem_out = next(it)
+
+    i = pl.program_id(0)
+    j0 = pl.multiple_of(jnp.minimum(i * Bi, im - Bi), 8)
+    start = pl.multiple_of(jnp.clip(j0 - H, 0, im - W), 8)
+    off = pl.multiple_of(j0 - start, 8)
+
+    copies = []
+    for k, (r, s) in enumerate(zip(win_refs, win_scr)):
+        cp = pltpu.make_async_copy(
+            r.at[pl.ds(start, W), :], s, sem_in.at[k])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+    vals = dict(zip(win_names, (s[:] for s in win_scr)))
+    for f, r in zip(rep_names, rep_refs):
+        vals[f] = r[0]                         # (1, n) -> (n,)
+    ramp = smem_ref[0, 0]
+    iext0 = smem_ref[0, 1].astype(jnp.int32)
+
+    grid_ns = SimpleNamespace(**{f: vals[f] for f in GRID_FIELDS})
+    fc_ns = SimpleNamespace(
+        ramp=ramp,
+        **{f: vals[f] for f in FC_2D_FIELDS + FC_1D_J + FC_1D_I})
+    aux_vals = tuple(vals[f] for f in AUX_FIELDS)
+    c = stepper.ExtCarry(*(vals[f] for f in CARRY_FIELDS))
+
+    im_act = cfg.im_act or im
+    jm_act = cfg.jm_act or jm
+    with stencil.domain(stencil.DomainCtx(
+            im=im_act, jm=jm_act, windowed=True, off_i=start,
+            edge_slice=(im_act == im))):
+        for s in range(C):
+            c = stepper.mode_external_substep(
+                grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals)
+
+    copies = []
+    for k, (val, s, r) in enumerate(zip(c, out_scr, out_refs)):
+        s[:] = val
+        cp = pltpu.make_async_copy(
+            s.at[pl.ds(off, Bi), :], r.at[pl.ds(j0, Bi), :],
+            sem_out.at[k])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+
+def run_external_loop_windowed(grid: Grid, cfg: Config, c0, fc, aux,
+                               interpret: bool = False):
+    """Run the isplit external substeps as isplit/C chunked window passes.
+    Same contract as extloop.run_external_loop."""
+    from extpom_tpu.core import stepper
+
+    dt_ = c0.el.dtype
+    im, jm = cfg.im, cfg.jm
+    C, H, Bi = chunk_geometry(cfg)
+    W = Bi + 2 * H
+    n_chunks = cfg.isplit // C
+
+    # windowed operands: carry (in+out) + grid + aux + 2-D forcing +
+    # i-side series pre-broadcast to (im, jm) (lane-aligned windows; the
+    # windowed _bi passes them through)
+    win_names = (list(CARRY_FIELDS) + list(GRID_FIELDS)
+                 + list(AUX_FIELDS) + list(FC_2D_FIELDS) + list(FC_1D_I))
+    rep_names = list(FC_1D_J)
+
+    grid_in = [getattr(grid, f) for f in GRID_FIELDS]
+    aux_in = list(aux)
+    fc2_in = [jnp.asarray(getattr(fc, f), dt_) for f in FC_2D_FIELDS]
+    fci_in = [jnp.broadcast_to(
+        jnp.asarray(getattr(fc, f), dt_)[:, None], (im, jm))
+        for f in FC_1D_I]
+    rep_in = [jnp.asarray(getattr(fc, f), dt_).reshape(1, -1)
+              for f in FC_1D_J]
+    n_win = len(win_names)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_out = len(CARRY_FIELDS)
+    out_shape = tuple(jax.ShapeDtypeStruct((im, jm), dt_)
+                      for _ in CARRY_FIELDS)
+    scratch = ([pltpu.VMEM((W, jm), dt_) for _ in range(n_win)]
+               + [pltpu.VMEM((W, jm), dt_) for _ in range(n_out)]
+               + [pltpu.SemaphoreType.DMA((n_win,)),
+                  pltpu.SemaphoreType.DMA((n_out,))])
+
+    kern = functools.partial(_kernel, cfg, C, H, Bi, n_win,
+                             win_names, rep_names)
+    call = pl.pallas_call(
+        kern,
+        grid=(-(-im // Bi),),
+        in_specs=[any_spec] * n_win + [vmem] * len(rep_names) + [smem],
+        out_specs=tuple(any_spec for _ in CARRY_FIELDS),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
+            if (_HAVE_PLTPU and not interpret) else None),
+    )
+
+    def chunk(ic, carry):
+        smem_in = jnp.stack(
+            [jnp.asarray(fc.ramp, dt_),
+             (ic * C + 1).astype(dt_)]).reshape(1, 2)
+        wins = list(carry) + grid_in + aux_in + fc2_in + fci_in
+        outs = call(*wins, *rep_in, smem_in)
+        return stepper.ExtCarry(*outs)
+
+    return lax.fori_loop(0, n_chunks, chunk, c0)

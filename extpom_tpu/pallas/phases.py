@@ -193,9 +193,12 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
             vals[k] = v
         # region masks resolve against GLOBAL row indices: local window
         # iota + start (the exchange2d/3d-free analogue of the reference's
-        # per-rank i_global maps, parallel_mpi.f:88-105)
+        # per-rank i_global maps, parallel_mpi.f:88-105).  edge_slice: the
+        # i layout is pad-free and edge windows clamp to the boundary, so
+        # set_i may slice edge-row expressions to one row (see stencil.py)
         with stencil.domain(stencil.DomainCtx(
-                im=im_act, jm=jm_act, windowed=True, off_i=start)):
+                im=im_act, jm=jm_act, windowed=True, off_i=start,
+                edge_slice=(im_act == im))):
             return body(vals, start)
 
     n_win, n_rep, n_out = len(win_in), len(rep_in), len(out_templates)

@@ -89,6 +89,13 @@ def ext_loop_model_bytes(im, jm, isplit, variant: str, cfg=None):
     per_pass = (n_read + n_write) * im * jm * 4
     if variant == "pallas":
         return per_pass
+    if variant == "extwin" and cfg is not None:
+        from extpom_tpu.pallas.extwin import chunk_geometry
+        C, H, Bi = chunk_geometry(cfg)
+        overlap = (Bi + 2 * H) / Bi
+        n_chunks = isplit // C
+        # +6 windowed i-series reads per pass (FC_1D_I broadcast fields)
+        return ((n_read + 6) * overlap + n_write) * im * jm * 4 * n_chunks
     if variant == "block" and cfg is not None:
         C = max(1, min(cfg.ext_chunk, isplit))
         B = cfg.ext_block_size
@@ -107,11 +114,14 @@ def measure_mode2(im, jm, isplit=30, n=20, variant="xla", kb=3, **cfg_kw):
     from extpom_tpu.cases.seamount import seamount_model
     from extpom_tpu.core import stepper
 
-    pallas = {"xla": "off", "pallas": "on", "block": "off"}[variant]
+    pallas = {"xla": "off", "pallas": "on", "block": "off",
+              "extwin": "off"}[variant]
     ext_block = "on" if variant == "block" else "off"
+    extwin = "on" if variant == "extwin" else "off"
     m = seamount_model(im=im, jm=jm, kb=kb, mode=2, isplit=isplit,
                        donate=False, pallas_ext=pallas, lramp=False,
-                       ext_block=ext_block, **cfg_kw)
+                       ext_block=ext_block, pallas_extwin=extwin,
+                       **cfg_kw)
     run = stepper.make_run_fn(m.cfg, 1.0, donate=False)
     lowered = run.lower(m.grid, m.state, m.base_forcing, m.rmean, m.tclim,
                         m.sclim, 0, n, first=False, plan=None)
