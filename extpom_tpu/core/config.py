@@ -140,7 +140,15 @@ class Config:
     # whole-grid kernel does not fit; "on" forces (interpreted off-TPU).
     pallas_extwin: str = "auto"
     extwin_chunk: int = 10     # substeps per window pass (C; clipped to a
-                               # divisor of isplit)
+                               # divisor of isplit, walked down on wide
+                               # grids to bound the halo read overhead)
+    extwin_budget_mb: int = 55 # VMEM window budget for extwin blocks
+    # Chunked halo-ring external loop inside shard_map local mode
+    # (mesh/extchunk.py): one width-C*ext_halo_sub ring exchange per C
+    # substeps instead of a ppermute per shifted read.  "auto" enables it
+    # whenever the step runs under shard_map; "off" keeps per-read
+    # exchanges.
+    ext_local_chunk: str = "auto"
     # Chunked grid-blocked external loop (ops/extblock.py): runs
     # ext_chunk substeps per HBM pass over overlapping halo windows —
     # the traffic reduction of the Pallas kernel at sizes beyond VMEM.

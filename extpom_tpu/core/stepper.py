@@ -455,7 +455,8 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
     aux = (adx2d, ady2d, drx2d, dry2d, aam2d)
 
     from extpom_tpu.pallas import extloop, extwin
-    from extpom_tpu.ops import extblock
+    from extpom_tpu.ops import extblock, stencil
+    from extpom_tpu.mesh import extchunk
     if extloop.use_pallas_ext(cfg):
         # whole loop VMEM-resident: one HBM read+write of the 2-D state
         carry = extloop.run_external_loop(
@@ -466,6 +467,11 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
         carry = extwin.run_external_loop_windowed(
             grid, cfg, carry0, fc, aux,
             interpret=jax.default_backend() != "tpu")
+    elif extchunk.use_chunked_local(cfg, stencil.domain_ctx(),
+                                    carry0.el.shape):
+        # shard_map local mode: one halo-ring exchange per C substeps
+        carry = extchunk.run_external_loop_chunked(
+            grid, cfg, carry0, fc, aux, stencil.domain_ctx())
     elif extblock.use_blocked_ext(cfg):
         # chunked halo windows: ext_chunk substeps per HBM pass
         carry = extblock.run_external_loop_blocked(grid, cfg, carry0, fc,

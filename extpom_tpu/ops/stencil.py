@@ -95,6 +95,11 @@ def _ctx() -> Optional[DomainCtx]:
     return getattr(_tls, "domain", None)
 
 
+def domain_ctx() -> Optional[DomainCtx]:
+    """Public accessor for the active :class:`DomainCtx` (or None)."""
+    return _ctx()
+
+
 @contextlib.contextmanager
 def domain(ctx: Optional[DomainCtx]):
     """Install a :class:`DomainCtx` for the enclosed trace."""

@@ -53,9 +53,19 @@ def chunk_geometry(cfg: Config):
     C = min(cfg.extwin_chunk, isplit)
     while isplit % C:
         C -= 1
+    # ~48 live fields + temporaries; budget cfg.extwin_budget_mb of
+    # windows.  When the halo would eat most of the window (wide grids),
+    # walk C down so the read amplification (Bi+2H)/Bi stays below ~1.6
+    w_max = cfg.extwin_budget_mb * 2 ** 20 // (80 * 4 * cfg.jm)
+    while C > 1:
+        H = -(-(C * cfg.ext_halo_sub) // 8) * 8
+        bi = max((w_max - 2 * H) // 8 * 8, 8)
+        if bi >= 2 * H or isplit % C or C == 1:
+            break
+        C -= 1
+        while isplit % C:
+            C -= 1
     H = -(-(C * cfg.ext_halo_sub) // 8) * 8
-    # ~48 live fields + temporaries; budget ~55 MB of windows
-    w_max = 55 * 2 ** 20 // (80 * 4 * cfg.jm)
     bi = max((w_max - 2 * H) // 8 * 8, 8)
     return C, H, min(bi, max(cfg.im // 8 * 8 - 2 * H, 8))
 

@@ -93,6 +93,38 @@ def test_shardmap_ragged_padded():
         np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
 
 
+def test_shardmap_chunked_vs_per_read_exchange():
+    """The chunked halo-ring external loop (mesh/extchunk.py, the default
+    under shard_map) must match the per-shifted-read ppermute path —
+    and both must match the single-device oracle."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(im=32, jm=64, kb=7)
+    ref = _run_ref(**kw)
+    m1 = seamount_model(dtype="float64", donate=False, **kw)
+    st_chunk = _run_shardmap(m1, make_mesh(2, 4))
+    m2 = seamount_model(dtype="float64", donate=False,
+                        ext_local_chunk="off", **kw)
+    st_per = _run_shardmap(m2, make_mesh(2, 4))
+    _compare(ref.state, st_chunk)
+    _compare(ref.state, st_per)
+
+
+def test_shardmap_pallas_tridiag():
+    """pallas_tridiag='on' under shard_map: the fused Thomas kernel is
+    horizontally pointwise, so it must run unchanged on local blocks
+    (interpret mode on the CPU mesh) — the composition VERDICT r2 flagged
+    as force-disabled."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(im=32, jm=64, kb=7)
+    ref = _run_ref(**kw)
+    m = seamount_model(dtype="float64", donate=False,
+                       pallas_tridiag="on", **kw)
+    st = _run_shardmap(m, make_mesh(2, 4))
+    _compare(ref.state, st)
+
+
 def test_shardmap_file_bc_scheme():
     """bc_scheme='file' exercises bc_vel3d's smoothing + hmax blend and
     bc_el/bc_ts/bc_turb full-array edge writes under shard_map."""
