@@ -153,12 +153,34 @@ def main(argv=None):
     _print(f"  CFL advisory: min dt_ext = {float(cfl_min(m.grid, cfg)):.2f} s"
            f" (dte = {cfg.dte} s)")
 
+    # Segment execution (the production fast path): when forcing is
+    # provider-backed (or static), whole print/restart intervals run under
+    # one jitted lax.scan dispatch (stepper.run_segment) — the reference's
+    # `do iint=1,iend` loop (pom.f:16-22) without a host round-trip per
+    # step.  Arbitrary per-step forcing_fn callables fall back to
+    # step-at-a-time.
+    from extpom_tpu.forcing.provider import ForcingProvider
+    use_segments = ((m.forcing_fn is None
+                     or isinstance(m.forcing_fn, ForcingProvider))
+                    # the explicit shard_map step has its own driver; keep
+                    # it step-at-a-time (its collectives are per-step)
+                    and getattr(m, "_par_mode", None) != "shardmap")
+
     n_out = 0
     t0 = _time.time()
     while m.iint < cfg.iend:
-        m.step_once()
-        # print-interval switch at iswtch (advance.f:65-68)
+        # next host-visit boundary: print, restart, iswtch, or end
         iprint = cfg.iprint if m.iint < cfg.iswtch else cfg.iprint2
+        nxt = min(((m.iint // iprint) + 1) * iprint,
+                  ((m.iint // cfg.irestart) + 1) * cfg.irestart,
+                  cfg.iend)
+        if m.iint < cfg.iswtch:
+            nxt = min(nxt, cfg.iswtch)
+        if use_segments:
+            m.run_segment(nxt - m.iint)
+        else:
+            for _ in range(nxt - m.iint):
+                m.step_once()
         if m.iint % iprint == 0 or m.iint == cfg.iend:
             s = {k: float(v) for k, v in diag_stats.domain_stats(
                 m.grid, cfg, m.state).items()}
@@ -181,7 +203,11 @@ def main(argv=None):
             zio.write_restart(
                 os.path.join(out_dir, f"{run}.rst.{m.iint:06d}"),
                 m.state, m.iint, m.time0)
-    print(f"wall clock: {_time.time() - t0:.1f} s for {m.iint} steps")
+    mode_s = "scanned segments" if use_segments else "step-at-a-time"
+    wall = _time.time() - t0
+    gps = cfg.im * cfg.jm * cfg.kb * m.iint / max(wall, 1e-9)
+    _print(f"wall clock: {wall:.1f} s for {m.iint} steps "
+           f"({mode_s}; {gps/1e6:.1f} Mgrid-pt-steps/s)")
     return 0
 
 

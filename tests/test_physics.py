@@ -1,0 +1,193 @@
+"""Provenance-independent physics validation.
+
+Every numerical test elsewhere in the suite ultimately compares against
+tests/reference/pom_ref.py — the builder's own NumPy transcription of
+solver.f — so a systematic misreading of the Fortran could co-sign itself.
+These tests check physical invariants no transcription error can fake:
+
+* mirror symmetry on a symmetric seamount (a single transposed index or
+  swapped i/j constant in any kernel breaks it loudly),
+* the analytic shallow-water gravity-wave phase speed sqrt(gH),
+* persistence of an exact geostrophic balance,
+* volume/salt conservation drift bounds over hundreds of steps.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from extpom_tpu.core.config import Config
+from extpom_tpu.core.grid import make_grid, sigma_levels
+from extpom_tpu.core.model import Model
+from extpom_tpu.cases.seamount import seamount_model
+
+
+def _sym_model(n_steps, im=33, jm=33, kb=7, mode=3):
+    """Symmetric seamount, f=0, started from a centered elevation bump at
+    rest: the solution must stay mirror-symmetric in BOTH horizontal
+    directions for all time."""
+    cfg = Config(im=im, jm=jm, kb=kb, mode=mode, dte=6.0, isplit=6,
+                 dtype="float64", bc_scheme="orlanski", lramp=False,
+                 pallas_ext="off")
+    z, zz = sigma_levels(kb)
+    dx0 = 8000.0
+    x = (np.arange(im) - (im - 1) / 2.0)[:, None] * dx0
+    y = (np.arange(jm) - (jm - 1) / 2.0)[None, :] * dx0
+    h = 4500.0 * (1.0 - 0.9 * np.exp(-(x ** 2 + y ** 2) / 25000.0 ** 2))
+    dx = np.full((im, jm), dx0)
+    grid = make_grid(cfg, z, zz, dx, dx, h, np.ones((im, jm)),
+                     cor=np.zeros((im, jm)))
+    tb = np.broadcast_to(
+        5.0 + 15.0 * np.exp(zz[:, None, None] * h[None] / 1000.0),
+        (kb, im, jm)).copy()
+    tb[-1] = tb[-2]
+    sb = np.full((kb, im, jm), 35.0)
+    elb = 0.2 * np.exp(-(x ** 2 + y ** 2) / 30000.0 ** 2)
+    m = Model(grid, cfg, tb=tb, sb=sb, elb=elb, donate=False)
+    for _ in range(n_steps):
+        m.step_once()
+    return m
+
+
+@pytest.mark.parametrize("mode", [2, 3])
+def test_mirror_symmetry(mode):
+    m = _sym_model(30, mode=mode)
+    st = m.state
+    tol = 1e-11
+
+    def sym(a, name):   # cell-centered fields: a == flip(a)
+        a = np.asarray(a)
+        for ax in (-2, -1):
+            err = np.max(np.abs(a - np.flip(a, axis=ax)))
+            assert err < tol * max(1.0, np.abs(a).max()), (name, ax, err)
+
+    def antisym_i(a, name):  # u-staggered: u[i] == -u[im-i], faces 1..im-1
+        a = np.asarray(a)[..., 1:, :]
+        err = np.max(np.abs(a + np.flip(a, axis=-2)))
+        assert err < tol * max(1.0, np.abs(a).max()), (name, err)
+
+    def antisym_j(a, name):
+        a = np.asarray(a)[..., :, 1:]
+        err = np.max(np.abs(a + np.flip(a, axis=-1)))
+        assert err < tol * max(1.0, np.abs(a).max()), (name, err)
+
+    sym(st.el, "el")
+    antisym_i(st.ua, "ua")
+    antisym_j(st.va, "va")
+    if mode != 2:
+        # 3-D fields: interior cells only — the reference's own edge loop
+        # ranges are one-sided (e.g. profq's i=1..imm1 surface-stress
+        # average, solver.f:1281-1290), so exact mirror symmetry holds on
+        # the interior; a transposed interior index still breaks this
+        def sym_int(a, name):
+            b = np.asarray(a)[..., 2:-2, 2:-2]
+            for ax in (-2, -1):
+                err = np.max(np.abs(b - np.flip(b, axis=ax)))
+                assert err < tol * max(1.0, np.abs(b).max()), (name, ax,
+                                                               err)
+
+        sym_int(st.t, "t")
+        sym_int(st.s, "s")
+        sym_int(st.q2, "q2")
+        # staggered faces: u[i] pairs with -u[im-i] -> slice [2:-1]
+        u = np.asarray(st.u)[..., 2:-1, 2:-2]
+        assert np.max(np.abs(u + np.flip(u, axis=-2))) < tol, "u anti"
+        assert np.max(np.abs(u - np.flip(u, axis=-1))) < tol, "u tang"
+        v = np.asarray(st.v)[..., 2:-2, 2:-1]
+        assert np.max(np.abs(v + np.flip(v, axis=-1))) < tol, "v anti"
+        assert np.max(np.abs(v - np.flip(v, axis=-2))) < tol, "v tang"
+
+
+def test_gravity_wave_phase_speed():
+    """Barotropic gravity wave on a flat bottom: crest speed = sqrt(gH)
+    to ~1 % (solver.f:848-940's external dynamics; independent of any
+    oracle)."""
+    im, jm, kb = 201, 7, 5
+    depth = 100.0
+    dx0 = 1000.0
+    cfg = Config(im=im, jm=jm, kb=kb, mode=2, dte=2.0, isplit=5,
+                 dtype="float64", bc_scheme="orlanski", lramp=False,
+                 pallas_ext="off")
+    z, zz = sigma_levels(kb)
+    fsm = np.ones((im, jm))
+    fsm[:, 0] = fsm[:, -1] = 0.0     # channel walls
+    grid = make_grid(cfg, z, zz, np.full((im, jm), dx0),
+                     np.full((im, jm), dx0), np.full((im, jm), depth),
+                     fsm, cor=np.zeros((im, jm)))
+    x = (np.arange(im) - (im - 1) / 2.0)[:, None] * dx0
+    elb = 0.05 * np.exp(-(x ** 2) / 5000.0 ** 2) * np.ones((1, jm))
+    tb = np.full((kb, im, jm), 10.0)
+    sb = np.full((kb, im, jm), 35.0)
+    m = Model(grid, cfg, tb=tb, sb=sb, elb=elb, donate=False)
+
+    def crest(el):
+        """Sub-cell rightward crest position by parabolic fit."""
+        prof = np.asarray(el)[:, jm // 2]
+        half = prof.copy()
+        half[: im // 2 + 2] = -1.0    # track the right-going crest only
+        i = int(np.argmax(half))
+        a, b, c = prof[i - 1], prof[i], prof[i + 1]
+        return i + 0.5 * (a - c) / (a - 2 * b + c)
+
+    n1, n2 = 32, 80
+    for _ in range(n1):
+        m.step_once()
+    x1 = crest(m.state.el)
+    for _ in range(n2 - n1):
+        m.step_once()
+    x2 = crest(m.state.el)
+    speed = (x2 - x1) * dx0 / ((n2 - n1) * cfg.dti)
+    c_exact = np.sqrt(cfg.grav * depth)
+    assert abs(speed - c_exact) / c_exact < 0.01, (speed, c_exact)
+
+
+def test_geostrophic_balance_persists():
+    """An exactly balanced jet (f u = -g d el/dy) on a flat-bottom f-plane
+    channel must stay steady: el drift over 60 external steps bounded by a
+    small fraction of the initial tilt."""
+    im, jm, kb = 65, 33, 5
+    depth = 1000.0
+    dx0 = 10000.0
+    f0 = 1.0e-4
+    u0 = 0.5
+    cfg = Config(im=im, jm=jm, kb=kb, mode=2, dte=6.0, isplit=6,
+                 dtype="float64", bc_scheme="file", lramp=False,
+                 pallas_ext="off")
+    z, zz = sigma_levels(kb)
+    fsm = np.ones((im, jm))
+    fsm[:, 0] = fsm[:, -1] = 0.0
+    grid = make_grid(cfg, z, zz, np.full((im, jm), dx0),
+                     np.full((im, jm), dx0), np.full((im, jm), depth),
+                     fsm, cor=np.full((im, jm), f0))
+    y = (np.arange(jm) - (jm - 1) / 2.0)[None, :] * dx0
+    elb = np.broadcast_to(-(f0 * u0 / cfg.grav) * y, (im, jm)).copy()
+    uab = np.full((im, jm), u0)
+    tb = np.full((kb, im, jm), 10.0)
+    sb = np.full((kb, im, jm), 35.0)
+    m = Model(grid, cfg, tb=tb, sb=sb, elb=elb, uab=uab, donate=False)
+    el0 = np.asarray(m.state.el)
+    for _ in range(10):
+        m.step_once()
+    drift = np.abs(np.asarray(m.state.el) - el0)[2:-2, 2:-2].max()
+    tilt = el0.max() - el0.min()
+    assert drift < 0.02 * tilt, (drift, tilt)
+
+
+def test_conservation_drift():
+    """Volume and salt totals over 200 internal steps: relative drift
+    bounds (the domain_stats oracle of advance.f:644-756, tightened from
+    'finite' to relative thresholds)."""
+    from extpom_tpu.diag import stats as diag_stats
+    m = seamount_model(im=33, jm=33, kb=7, dtype="float64", donate=False,
+                       isplit=6)
+    s0 = {k: float(v) for k, v in diag_stats.domain_stats(
+        m.grid, m.cfg, m.state).items()}
+    for _ in range(200):
+        m.step_once()
+    s1 = {k: float(v) for k, v in diag_stats.domain_stats(
+        m.grid, m.cfg, m.state).items()}
+    assert abs(s1["vtot"] - s0["vtot"]) / s0["vtot"] < 1e-3
+    assert abs(s1["saver"] - s0["saver"]) / s0["saver"] < 1e-4
+    assert abs(s1["taver"] - s0["taver"]) / max(abs(s0["taver"]), 1.0) < 1e-2
+    assert np.isfinite(s1["ekin"])

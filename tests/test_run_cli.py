@@ -28,6 +28,9 @@ def test_run_and_resume(tmp_path, capsys):
     assert any(o.startswith("sm.0") for o in outs)
     text = capsys.readouterr().out
     assert "CFL advisory" in text and "saver" in text
+    # the CLI drives whole print/restart intervals through the scanned
+    # segment fast path (one dispatch per interval, pom.f:16-22 analogue)
+    assert "scanned segments" in text
 
     # resume from the restart and extend the run
     rst = next(o for o in outs if o.startswith("sm.rst."))
