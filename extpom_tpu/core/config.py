@@ -149,6 +149,12 @@ class Config:
     # whenever the step runs under shard_map; "off" keeps per-read
     # exchanges.
     ext_local_chunk: str = "auto"
+    # HBM budget for device-staged forcing series (forcing/device.py):
+    # when a provider's full record series exceeds this, run_segment
+    # stages only the record window each segment needs and re-stages
+    # between segments (the reference streams one record pair,
+    # bounds_forcing.f:607-613).
+    forcing_hbm_mb: int = 512
     # Chunked grid-blocked external loop (ops/extblock.py): runs
     # ext_chunk substeps per HBM pass over overlapping halo windows —
     # the traffic reduction of the Pallas kernel at sizes beyond VMEM.

@@ -256,16 +256,28 @@ class Model:
         self.iint += 1
         return self.state
 
-    def _device_plan(self):
+    def _device_plan(self, t0_days=None, t1_days=None):
         """Staged on-device forcing series, when the forcing_fn is a
-        ForcingProvider with a record source (extpom_tpu.forcing.device)."""
+        ForcingProvider with a record source (extpom_tpu.forcing.device).
+
+        Series within the HBM budget (cfg.forcing_hbm_mb) are staged once
+        and cached; oversized series are staged as per-segment record
+        WINDOWS for [t0_days, t1_days] and re-staged on every call (the
+        one-record-pair streaming analogue, bounds_forcing.f:607-613) —
+        window lengths depend only on the segment duration, so the jitted
+        segment does not recompile."""
+        from extpom_tpu.forcing import device as fdev
+        from extpom_tpu.forcing.provider import ForcingProvider
+        if not isinstance(self.forcing_fn, ForcingProvider):
+            return None
+        p = self.forcing_fn
+        budget = self.cfg.forcing_hbm_mb * 2 ** 20
+        if fdev.plan_bytes(p) > budget and t0_days is not None:
+            return fdev.make_device_plan(p, budget_bytes=budget,
+                                         t0_days=t0_days,
+                                         t1_days=t1_days)
         if getattr(self, "_plan", None) is None:
-            from extpom_tpu.forcing.device import make_device_plan
-            from extpom_tpu.forcing.provider import ForcingProvider
-            plan = None
-            if isinstance(self.forcing_fn, ForcingProvider):
-                plan = make_device_plan(self.forcing_fn)
-            self._plan = (plan,)
+            self._plan = (fdev.make_device_plan(p),)
         return self._plan[0]
 
     def run_segment(self, n_steps: int) -> State:
@@ -286,10 +298,12 @@ class Model:
             self._run_fn = stepper.make_run_fn(
                 self.cfg, period, self.time0, donate=False)
         fc = self.base_forcing
+        t0 = self.time_days
+        t1 = t0 + n_steps * self.cfg.dti / 86400.0
         self.state = self._run_fn(self.grid, self.state, fc, self.rmean,
                                   self.tclim, self.sclim, self.iint,
                                   n_steps, first=(self.iint == 0),
-                                  plan=self._device_plan())
+                                  plan=self._device_plan(t0, t1))
         self.iint += n_steps
         return self.state
 

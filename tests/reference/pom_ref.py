@@ -1295,6 +1295,54 @@ def bcondorl_vel3d_ref(uf_in, vf_in, u, ub, v, vb, dum, dvm, kbm1):
     return uf, vf
 
 
+def bcondorl_ts_ref(uf_in, vf_in, t, tb, s, sb, ub, tbe, tbw,
+                    sbe, sbw, fsm, kbm1):
+    """bcondorl idx=4: Orlanski T/S at the east/west boundaries with
+    upstream clamping to the boundary profile when the phase speed
+    vanishes on inflow (bounds_forcing.f:489-548).  uf/vf hold the new
+    T/S fields."""
+    kb, im, jm = t.shape
+    uf = uf_in.copy()
+    vf = vf_in.copy()
+
+    def cl_of(ff, fb, fi):
+        denom = ff + fb - 2.0 * fi
+        if denom == 0.0:
+            denom = 0.01
+        return min(max((fb - ff) / denom, 0.0), 1.0)
+
+    for k in range(kbm1):
+        for j in range(jm):
+            # east (bounds_forcing.f:495-516)
+            ube = ub[k, im-1, j]
+            cl = cl_of(uf[k, im-2, j], tb[k, im-2, j], t[k, im-3, j])
+            uf[k, im-1, j] = (tb[k, im-1, j] * (1.0 - cl)
+                              + 2.0 * cl * t[k, im-2, j]) / (1.0 + cl)
+            if cl == 0.0 and ube <= 0.0:
+                uf[k, im-1, j] = tbe[k, j]
+            cl = cl_of(vf[k, im-2, j], sb[k, im-2, j], s[k, im-3, j])
+            vf[k, im-1, j] = (sb[k, im-1, j] * (1.0 - cl)
+                              + 2.0 * cl * s[k, im-2, j]) / (1.0 + cl)
+            if cl == 0.0 and ube <= 0.0:
+                vf[k, im-1, j] = sbe[k, j]
+            # west (bounds_forcing.f:518-535)
+            ubw = ub[k, 1, j]
+            cl = cl_of(uf[k, 1, j], tb[k, 1, j], t[k, 2, j])
+            uf[k, 0, j] = (tb[k, 0, j] * (1.0 - cl)
+                           + 2.0 * cl * t[k, 1, j]) / (1.0 + cl)
+            if cl == 0.0 and ubw >= 0.0:
+                uf[k, 0, j] = tbw[k, j]
+            cl = cl_of(vf[k, 1, j], sb[k, 1, j], s[k, 2, j])
+            vf[k, 0, j] = (sb[k, 0, j] * (1.0 - cl)
+                           + 2.0 * cl * s[k, 1, j]) / (1.0 + cl)
+            if cl == 0.0 and ubw >= 0.0:
+                vf[k, 0, j] = sbw[k, j]
+    for k in range(kbm1):
+        uf[k] *= fsm
+        vf[k] *= fsm
+    return uf, vf
+
+
 def mode_internal_ref(st, carry, aux, fc, g, cfg):
     """Full internal (3-D) mode oracle, advance.f:356-537, composing the
     per-kernel oracles with the reference's glue (depth-mean adjustment,

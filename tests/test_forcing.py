@@ -79,3 +79,34 @@ def test_device_plan_scan_matches_host_path():
         b = np.asarray(getattr(m2.state, name))
         tol = 1e-12 * max(1.0, float(np.abs(a).max()))
         np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
+
+
+def test_chunked_staging_matches_full():
+    """When the forcing series exceeds the HBM budget, run_segment stages
+    per-segment record WINDOWS and re-stages between segments
+    (forcing/device.py; the one-record-pair streaming analogue,
+    bounds_forcing.f:607-613).  Chunked staging must be bit-identical to
+    full staging across segment boundaries."""
+    import numpy as np
+    from extpom_tpu.cases.channel import channel_model
+    from extpom_tpu.forcing.device import plan_bytes
+
+    m1 = channel_model(im=33, jm=17, kb=7, dtype="float64")
+    for n in (6, 6, 6):
+        m1.run_segment(n)
+
+    m2 = channel_model(im=33, jm=17, kb=7, dtype="float64",
+                       forcing_hbm_mb=0)     # force windowed staging
+    assert plan_bytes(m2.forcing_fn) > 0
+    # the staged window is a strict subset of the full series
+    win = m2._device_plan(0.0, 6 * m2.cfg.dti / 86400.0)
+    full = m2._device_plan()
+    assert win.stacks[0].shape[0] < full.stacks[0].shape[0]
+    for n in (6, 6, 6):
+        m2.run_segment(n)
+
+    for name in ("el", "ua", "va", "u", "t", "s"):
+        a = np.asarray(getattr(m1.state, name))
+        b = np.asarray(getattr(m2.state, name))
+        tol = 1e-12 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)

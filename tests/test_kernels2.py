@@ -271,3 +271,46 @@ def test_profq(setup):
     for name, a, b in zip(names, got, want):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-10,
                                    err_msg=name)
+
+
+def test_bcondorl_ts(setup):
+    """bcondorl idx=4 (Orlanski T/S, bounds_forcing.f:489-548) vs the
+    loop oracle, including the cl==0 inflow clamp to the boundary
+    profile.  The implementation's documented deviation (zero-gradient
+    north/south edges + fsm mask ordering, bc/orlanski.py) is applied to
+    the oracle's output before comparing."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from extpom_tpu.bc import orlanski as bco
+
+    cfg, grid, rand3, rand2 = setup
+    t, tb = rand3(2.0, 10.0), rand3(2.0, 10.0)
+    s, sb = rand3(1.0, 34.0), rand3(1.0, 34.0)
+    uf, vf = rand3(2.0, 10.0), rand3(1.0, 34.0)
+    # mix signs + exact zeros so both the cl-clamp and inflow branches fire
+    ub = rand3(0.4, -0.2)
+    ub[:, :, ::3] = 0.0
+    tbe = 10.0 + 2.0 * np.random.default_rng(3).random((KB, JM))
+    tbw = 10.0 + 2.0 * np.random.default_rng(4).random((KB, JM))
+    sbe = 34.0 + np.random.default_rng(5).random((KB, JM))
+    sbw = 34.0 + np.random.default_rng(6).random((KB, JM))
+
+    ref_uf, ref_vf = pom_ref.bcondorl_ts_ref(
+        uf, vf, t, tb, s, sb, ub, tbe, tbw, sbe, sbw,
+        g(grid, "fsm"), cfg.kbm1)
+    # apply the implementation's documented N/S zero-gradient deviation
+    # (pre-mask values equal the masked ones here since fsm == 1)
+    for a in (ref_uf, ref_vf):
+        a[:, :, 0] = a[:, :, 1]
+        a[:, :, -1] = a[:, :, -2]
+
+    fc = SimpleNamespace(tbe=jnp.asarray(tbe), tbw=jnp.asarray(tbw),
+                         sbe=jnp.asarray(sbe), sbw=jnp.asarray(sbw))
+    got_uf, got_vf = bco.orl_ts(grid, cfg, jnp.asarray(uf),
+                                jnp.asarray(vf), jnp.asarray(t),
+                                jnp.asarray(tb), jnp.asarray(s),
+                                jnp.asarray(sb), jnp.asarray(ub), fc)
+    np.testing.assert_allclose(np.asarray(got_uf)[:cfg.kbm1],
+                               ref_uf[:cfg.kbm1], rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got_vf)[:cfg.kbm1],
+                               ref_vf[:cfg.kbm1], rtol=0, atol=1e-13)

@@ -111,3 +111,30 @@ def test_ragged_decomposition_invariance():
         b = np.asarray(getattr(st, name))
         tol = 1e-9 * max(1.0, float(np.abs(a).max()))
         np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
+
+
+def test_ragged_orlanski_scheme():
+    """Pad-and-mask ragged decomposition with bc_scheme='orlanski': the
+    active-edge radiation writes must land on the true domain edges, not
+    the pad edges."""
+    import numpy as np
+    from extpom_tpu.cases.seamount import seamount_model
+    from extpom_tpu.mesh.padding import pad_model, unpad
+    from extpom_tpu.mesh.sharding import make_mesh
+
+    kw = dict(im=33, jm=65, kb=7, bc_scheme="orlanski")
+    ref = seamount_model(dtype="float64", donate=False, **kw)
+    for _ in range(3):
+        ref.step_once()
+
+    m = seamount_model(dtype="float64", donate=False, **kw)
+    pad_model(m, 2, 4)
+    if len(jax.devices()) >= 8:
+        m.shard(make_mesh(2, 4), mode="gspmd")
+    for _ in range(3):
+        m.step_once()
+    for name in ("el", "ua", "va", "u", "v", "t", "s", "q2"):
+        a = np.asarray(getattr(ref.state, name))
+        b = np.asarray(unpad(getattr(m.state, name), m.cfg))
+        tol = 1e-10 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)

@@ -135,3 +135,17 @@ def test_shardmap_file_bc_scheme():
     m = seamount_model(dtype="float64", donate=False, **kw)
     st = _run_shardmap(m, make_mesh(2, 4))
     _compare(ref.state, st)
+
+
+def test_shardmap_orlanski_scheme():
+    """bc_scheme='orlanski' under shard_map: the radiation phase-speed
+    reads (2-cell sft shifts at the edges) and the sharded edge writes
+    must match the single-device run (the r1 lesson — sharded edge
+    writes are where SPMD bugs live — applied to the Orlanski set)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(im=32, jm=64, kb=7, bc_scheme="orlanski")
+    ref = _run_ref(**kw)
+    m = seamount_model(dtype="float64", donate=False, **kw)
+    st = _run_shardmap(m, make_mesh(2, 4))
+    _compare(ref.state, st)
