@@ -404,23 +404,19 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
         return _step(grid, cfg, st, fc, rmean, tclim, sclim, first)
 
 
-def lateral_terms(grid: Grid, cfg: Config, st: State, fc: Forcing,
-                  rmean: jnp.ndarray):
+def phase_lat(grid, cfg: Config, u, v, ub, vb, aam0, rho, rmean,
+              dt, d, ramp):
     """Lateral viscosity + 3-D advection/pressure terms
     (lateral_viscosity, advance.f:96-141) -> (aam, advx, advy, drhox,
-    drhoy); Nones for mode 2."""
-    if cfg.mode == 2:
-        return st.aam, None, None, None, None
-    dt = grid.h + st.et
-    advx, advy = momentum.advct(grid, cfg, st.u, st.v, st.ub, st.vb,
-                                st.aam, dt)
+    drhoy).  ``ramp`` may be a scalar or a (1, jm) broadcast row (the
+    windowed-kernel form)."""
+    advx, advy = momentum.advct(grid, cfg, u, v, ub, vb, aam0, dt)
     if cfg.npg == 1:
-        drhox, drhoy = pressure.baropg(grid, cfg, st.rho, rmean, dt,
-                                       fc.ramp)
+        drhox, drhoy = pressure.baropg(grid, cfg, rho, rmean, dt, ramp)
     else:
-        drhox, drhoy = pressure.baropg_mcc(grid, cfg, st.rho, rmean,
-                                           grid.h + st.el, dt, fc.ramp)
-    dx, dy, u, v = grid.dx, grid.dy, st.u, st.v
+        drhox, drhoy = pressure.baropg_mcc(grid, cfg, rho, rmean,
+                                           d, dt, ramp)
+    dx, dy = grid.dx, grid.dy
     aam_new = (cfg.horcon * dx * dy
                * jnp.sqrt(((sft(u, 1, 0) - u) / dx) ** 2
                           + ((sft(v, 0, 1) - v) / dy) ** 2
@@ -431,9 +427,26 @@ def lateral_terms(grid: Grid, cfg: Config, st: State, fc: Forcing,
                                              - sft(v, -1, 0)
                                              - sft(v, -1, 1))
                                    / dx) ** 2))
-    aam = put(st.aam, aam_new, slice(0, cfg.kbm1),
+    aam = put(aam0, aam_new, slice(0, cfg.kbm1),
               slice(1, -1), slice(1, -1))
     return aam, advx, advy, drhox, drhoy
+
+
+def lateral_terms(grid: Grid, cfg: Config, st: State, fc: Forcing,
+                  rmean: jnp.ndarray):
+    """Lateral viscosity + 3-D advection/pressure terms
+    (lateral_viscosity, advance.f:96-141) -> (aam, advx, advy, drhox,
+    drhoy); Nones for mode 2."""
+    if cfg.mode == 2:
+        return st.aam, None, None, None, None
+    dt = grid.h + st.et
+    from extpom_tpu.pallas import phases as pph
+    if pph.use_pallas_phases(cfg):
+        run = pph.runner(grid, cfg, fc)
+        return run.lat(st.u, st.v, st.ub, st.vb, st.aam, st.rho, rmean,
+                       dt, grid.h + st.el)
+    return phase_lat(grid, cfg, st.u, st.v, st.ub, st.vb, st.aam,
+                     st.rho, rmean, dt, grid.h + st.el, fc.ramp)
 
 
 def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,

@@ -405,6 +405,23 @@ class runner:
                          [t, tb, s, sb, tclim, sclim, u, ub, v, w, aam,
                           kh, dt, etb, etf], 5, 0)
 
+    def lat(self, u, v, ub, vb, aam, rho, rmean, dt, d):
+        from extpom_tpu.core import stepper
+        cfg = self.cfg
+        # ramp enters as a (1, jm) broadcast row so the scalar rides a
+        # lane-replicated VMEM block (no SMEM plumbing needed)
+        ramp_row = jnp.broadcast_to(
+            jnp.asarray(self.fc.ramp, u.dtype), (1, cfg.jm))
+
+        def fn(gns, cfg, fcns, *vals):
+            (u, v, ub, vb, aam, rho, rmean, dt, d, ramp) = vals
+            return stepper.phase_lat(gns, cfg, u, v, ub, vb, aam, rho,
+                                     rmean, dt, d, ramp)
+
+        return self._run(fn, (), (),
+                         [u, v, ub, vb, aam, rho, rmean, dt, d],
+                         5, 0, extra_rep=(ramp_row,))
+
     def mom(self, u, ub, v, vb, w, advx, advy, drhox, drhoy, km,
             dt, egf, egb, etb, etf, d):
         from extpom_tpu.core import stepper

@@ -46,6 +46,7 @@ def _assert_state_close(got, ref, atol=1e-12):
     dict(bc_scheme="orlanski"),
     dict(mode=4),                 # frozen T/S: tracer phase skipped
     dict(nadv=2, nitera=2),       # MPDATA tracer scheme inside the kernel
+    dict(npg=2),                  # McCalpin 4th-order PG in the lat phase
 ])
 def test_phases_match_xla_seamount(kw):
     ref = _run_seamount("off", **kw)
