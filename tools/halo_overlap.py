@@ -72,13 +72,43 @@ _COMPUTE = re.compile(r"=\s*\S+\s+(fusion|add|subtract|multiply|divide|"
                       r"convolution|dot|reduce|sqrt|rsqrt|exponential)")
 
 
+_SHAPE = re.compile(r"(f32|f64|bf16|s32|u32)\[([\d,]*)\]")
+
+_ITEM = {"f32": 4, "f64": 8, "bf16": 2, "s32": 4, "u32": 4}
+
+
+def _line_bytes(ln):
+    """Total bytes of the result shape(s) on an HLO line (first shape
+    before the '=' covers the output; tuples contribute each member)."""
+    lhs = ln.split(" = ", 1)
+    target = lhs[1] if len(lhs) == 2 else ln
+    total = 0
+    for m in _SHAPE.finditer(target.split("(", 1)[0]):
+        dims = m.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _ITEM[m.group(1)]
+    return total
+
+
 def analyze(txt):
-    """Per scheduled computation, measure the start->done windows."""
+    """Per scheduled computation, measure the start->done windows.
+
+    Besides instruction counts, estimates TIME-WEIGHTED overlap: compute
+    inside a window is costed at HBM bandwidth on its output bytes
+    (elementwise/fusion kernels are bandwidth-bound), the transfer at ICI
+    strip bytes — so 'hidden' = min(compute_time, transfer_time) per
+    window (the portion of the transfer the schedule can actually cover).
+    """
     windows = []
     for comp in txt.split("\n\n"):
         lines = comp.splitlines()
         open_at = {}
         n_compute_since = {}
+        bytes_since = {}
+        xfer_bytes = {}
         for idx, ln in enumerate(lines):
             mdone = _DONE.search(ln)
             if mdone:
@@ -86,16 +116,33 @@ def analyze(txt):
                 if name in open_at:
                     windows.append(
                         dict(span=idx - open_at.pop(name) - 1,
-                             compute=n_compute_since.pop(name, 0)))
+                             compute=n_compute_since.pop(name, 0),
+                             compute_bytes=bytes_since.pop(name, 0),
+                             xfer_bytes=xfer_bytes.pop(name, 0)))
                 continue
             mstart = _START.search(ln)
             if mstart:
-                open_at[mstart.group(1)] = idx
-                n_compute_since[mstart.group(1)] = 0
+                name = mstart.group(1)
+                open_at[name] = idx
+                n_compute_since[name] = 0
+                bytes_since[name] = 0
+                # result is a tuple (send_buf, recv_buf, ...); the first
+                # shape is the transferred strip
+                msh = _SHAPE.search(ln)
+                if msh:
+                    n = 1
+                    for d in msh.group(2).split(","):
+                        if d:
+                            n *= int(d)
+                    xfer_bytes[name] = n * _ITEM[msh.group(1)]
+                else:
+                    xfer_bytes[name] = 0
                 continue
             if _COMPUTE.search(ln):
+                b = _line_bytes(ln)
                 for k in n_compute_since:
                     n_compute_since[k] += 1
+                    bytes_since[k] += b
     return windows
 
 
@@ -119,6 +166,18 @@ def main():
     comp = np.array([w["compute"] for w in windows]) if windows else np.zeros(1)
     overlapped = float((comp >= 1).mean()) * 100
 
+    # time-weighted overlap estimate: compute at HBM bandwidth (819 GB/s,
+    # elementwise kernels are bandwidth-bound) vs strip transfer at an
+    # effective ICI rate (90 GB/s per direction, conservative for v5e);
+    # the hidden share of each transfer is min(compute, transfer) time
+    HBM, ICI = 819e9, 90e9
+    t_xfer = np.array([w["xfer_bytes"] / ICI for w in windows]) \
+        if windows else np.zeros(1)
+    t_comp = np.array([w["compute_bytes"] / HBM for w in windows]) \
+        if windows else np.zeros(1)
+    hidden = np.minimum(t_comp, t_xfer)
+    tw = 100.0 * hidden.sum() / max(t_xfer.sum(), 1e-30)
+
     lines = [
         f"- topology: v5e 2x4 (8 chips, AOT), grid "
         f"{args.size}x{args.size}x{args.kb} f32, shard_map explicit-halo "
@@ -130,6 +189,13 @@ def main():
         f"median {np.median(spans):.0f}, max {int(spans.max())}",
         f"- compute ops inside the window: mean {comp.mean():.1f}, "
         f"median {np.median(comp):.0f}, max {int(comp.max())}",
+        f"- TIME-WEIGHTED overlap estimate (cost model: compute bytes at "
+        f"{HBM/1e9:.0f} GB/s HBM vs strip bytes at {ICI/1e9:.0f} GB/s "
+        f"ICI): {tw:.0f}% of total transfer time coverable by in-window "
+        "compute",
+        f"- total per-step estimate: transfers {1e6*t_xfer.sum():.1f} us, "
+        f"in-window compute {1e6*t_comp.sum():.1f} us, hidden "
+        f"{1e6*hidden.sum():.1f} us",
     ]
     out = "\n".join(lines)
     print(out)
