@@ -133,6 +133,11 @@ class Config:
     phase_halo: int = 8        # halo rows per side (>= total chained
                                # stencil radius of any one phase; multiple
                                # of 8 for sublane-aligned DMA starts)
+    phase_double_buffer: bool = True   # prefetch the next stripe's input
+                               # windows while computing (2-slot input
+                               # scratch; effective_block trims its VMEM
+                               # budget accordingly).  Measured: 732 vs
+                               # 626 Mpt-steps/s at 256^2x31.
     # Halo-window Pallas external loop (pallas/extwin.py): for grids
     # beyond the whole-grid VMEM kernel, runs extwin_chunk substeps per
     # manual-DMA window pass over i-stripes — isplit/C full-grid HBM

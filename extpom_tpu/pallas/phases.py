@@ -41,6 +41,7 @@ from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 
 try:
@@ -78,9 +79,13 @@ def effective_block(cfg: Config) -> int:
     """Interior rows per kernel instance, scaled so the VMEM working set
     stays roughly at the tuned (jm=256, kb=31, Bi=64) level: window bytes
     scale with (Bi + 2H) * jm * kb, and Bi=64 is the measured optimum at
-    the bench size (576 Mpt-steps/s; 80+ OOMs Mosaic)."""
+    the bench size (576 Mpt-steps/s; 80+ OOMs Mosaic).  Double-buffered
+    input windows double the scratch, so the budget halves."""
     H = cfg.phase_halo
     w_ref = (64 + 2 * H) * 256 * 31
+    if cfg.phase_double_buffer:
+        # only the input windows double (outputs/temps do not): ~2/3
+        w_ref = w_ref * 2 // 3
     w_max = w_ref // max(cfg.jm * cfg.kb, 1)
     bi = min(cfg.phase_block, (w_max - 2 * H) // 8 * 8)
     return max(bi, 8)
@@ -114,8 +119,16 @@ def _block_shape(shape, Bi: int):
     return shape[:-2] + (Bi,) + shape[-1:]
 
 
+def _window_geom(i, im: int, Bi: int, H: int):
+    W = Bi + 2 * H
+    j0 = pl.multiple_of(jnp.minimum(i * Bi, im - Bi), 8)
+    start = pl.multiple_of(jnp.clip(j0 - H, 0, im - W), 8)
+    off = pl.multiple_of(j0 - start, 8)
+    return j0, start, off
+
+
 def _kernel(im: int, Bi: int, H: int, n_win: int, n_rep: int, n_out: int,
-            body: Callable, *refs):
+            double: bool, body: Callable, *refs):
     W = Bi + 2 * H
     win_refs = refs[:n_win]
     rep_refs = refs[n_win:n_win + n_rep]
@@ -126,24 +139,47 @@ def _kernel(im: int, Bi: int, H: int, n_win: int, n_rep: int, n_out: int,
     sem_in, sem_out = scr[n_win + n_out:]
 
     i = pl.program_id(0)
-    j0 = pl.multiple_of(jnp.minimum(i * Bi, im - Bi), 8)
-    start = pl.multiple_of(jnp.clip(j0 - H, 0, im - W), 8)
-    off = pl.multiple_of(j0 - start, 8)
+    j0, start, off = _window_geom(i, im, Bi, H)
 
-    # window copies in (issue all, then wait all)
-    copies = []
-    for k, (r, s) in enumerate(zip(win_refs, win_scr)):
+    def in_copy(k, block_start, slot):
+        r, s = win_refs[k], win_scr[k]
         pre = (slice(None),) * (len(r.shape) - 2)
-        cp = pltpu.make_async_copy(
-            r.at[pre + (pl.ds(start, W), slice(None))], s, sem_in.at[k])
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+        dst = s.at[slot] if double else s
+        return pltpu.make_async_copy(
+            r.at[pre + (pl.ds(block_start, W), slice(None))], dst,
+            sem_in.at[slot, k] if double else sem_in.at[k])
 
-    win_vals = [s[:] for s in win_scr]
+    if double:
+        # two-slot pipeline: window i was prefetched by iteration i-1
+        # (i=0 starts its own), window i+1 starts now and lands while
+        # this iteration computes — input HBM streaming overlaps VPU work
+        nblk = pl.num_programs(0)
+        slot = lax.rem(i, jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(n_win):
+                in_copy(k, start, 0).start()
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            _, nstart, _ = _window_geom(i + 1, im, Bi, H)
+            for k in range(n_win):
+                in_copy(k, nstart,
+                        lax.rem(i + 1, jnp.int32(2))).start()
+
+        for k in range(n_win):
+            in_copy(k, start, slot).wait()
+        win_vals = [s[slot] for s in win_scr]
+    else:
+        copies = [in_copy(k, start, 0) for k in range(n_win)]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+        win_vals = [s[:] for s in win_scr]
+
     rep_vals = [r[:] for r in rep_refs]
-
     out_vals = body(win_vals, rep_vals, start)
 
     copies = []
@@ -202,20 +238,22 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
             return body(vals, start)
 
     n_win, n_rep, n_out = len(win_in), len(rep_in), len(out_templates)
+    double = bool(cfg.phase_double_buffer)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = tuple(jax.ShapeDtypeStruct(t.shape, t.dtype)
                       for t in out_templates)
-    scratch = ([pltpu.VMEM(_win_shape(a.shape, W), a.dtype)
+    slots = (2,) if double else ()
+    scratch = ([pltpu.VMEM(slots + _win_shape(a.shape, W), a.dtype)
                 for a in win_in]
                + [pltpu.VMEM(_win_shape(t.shape, W), t.dtype)
                   for t in out_templates]
-               + [pltpu.SemaphoreType.DMA((max(n_win, 1),)),
+               + [pltpu.SemaphoreType.DMA(slots + (max(n_win, 1),)),
                   pltpu.SemaphoreType.DMA((max(n_out, 1),))])
 
     grid = (-(-im // Bi),)
     kern = functools.partial(_kernel, im, Bi, H, n_win, n_rep, n_out,
-                             kernel_body)
+                             double, kernel_body)
     outs = pl.pallas_call(
         kern,
         grid=grid,
