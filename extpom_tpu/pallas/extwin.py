@@ -53,10 +53,11 @@ def chunk_geometry(cfg: Config):
     C = min(cfg.extwin_chunk, isplit)
     while isplit % C:
         C -= 1
-    # ~48 live fields + temporaries; budget cfg.extwin_budget_mb of
-    # windows.  When the halo would eat most of the window (wide grids),
-    # walk C down so the read amplification (Bi+2H)/Bi stays below ~1.6
-    w_max = cfg.extwin_budget_mb * 2 ** 20 // (80 * 4 * cfg.jm)
+    # ~40 double-buffered input windows + 14 outputs + temporaries;
+    # budget cfg.extwin_budget_mb of windows.  When the halo would eat
+    # most of the window (wide grids), walk C down so the read
+    # amplification (Bi+2H)/Bi stays below ~1.6
+    w_max = cfg.extwin_budget_mb * 2 ** 20 // (110 * 4 * cfg.jm)
     while C > 1:
         H = -(-(C * cfg.ext_halo_sub) // 8) * 8
         bi = max((w_max - 2 * H) // 8 * 8, 8)
@@ -113,20 +114,38 @@ def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
     sem_out = next(it)
 
     i = pl.program_id(0)
+    nblk = pl.num_programs(0)
     j0 = pl.multiple_of(jnp.minimum(i * Bi, im - Bi), 8)
     start = pl.multiple_of(jnp.clip(j0 - H, 0, im - W), 8)
     off = pl.multiple_of(j0 - start, 8)
 
-    copies = []
-    for k, (r, s) in enumerate(zip(win_refs, win_scr)):
-        cp = pltpu.make_async_copy(
-            r.at[pl.ds(start, W), :], s, sem_in.at[k])
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+    # two-slot input pipeline (same pattern as pallas/phases._kernel):
+    # window i was prefetched by iteration i-1; i+1 streams in while this
+    # stripe's C substeps run.  Outputs are separate HBM buffers, so the
+    # prefetch can never observe a stale carry write.
+    slot = lax.rem(i, jnp.int32(2))
 
-    vals = dict(zip(win_names, (s[:] for s in win_scr)))
+    def in_copy(k, block_start, sl):
+        return pltpu.make_async_copy(
+            win_refs[k].at[pl.ds(block_start, W), :],
+            win_scr[k].at[sl], sem_in.at[sl, k])
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(n_win):
+            in_copy(k, start, 0).start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        nj0 = pl.multiple_of(jnp.minimum((i + 1) * Bi, im - Bi), 8)
+        nstart = pl.multiple_of(jnp.clip(nj0 - H, 0, im - W), 8)
+        for k in range(n_win):
+            in_copy(k, nstart, lax.rem(i + 1, jnp.int32(2))).start()
+
+    for k in range(n_win):
+        in_copy(k, start, slot).wait()
+
+    vals = dict(zip(win_names, (s[slot] for s in win_scr)))
     for f, r in zip(rep_names, rep_refs):
         vals[f] = r[0]                         # (1, n) -> (n,)
     ramp = smem_ref[0, 0]
@@ -195,9 +214,9 @@ def run_external_loop_windowed(grid: Grid, cfg: Config, c0, fc, aux,
     n_out = len(CARRY_FIELDS)
     out_shape = tuple(jax.ShapeDtypeStruct((im, jm), dt_)
                       for _ in CARRY_FIELDS)
-    scratch = ([pltpu.VMEM((W, jm), dt_) for _ in range(n_win)]
+    scratch = ([pltpu.VMEM((2, W, jm), dt_) for _ in range(n_win)]
                + [pltpu.VMEM((W, jm), dt_) for _ in range(n_out)]
-               + [pltpu.SemaphoreType.DMA((n_win,)),
+               + [pltpu.SemaphoreType.DMA((2, n_win)),
                   pltpu.SemaphoreType.DMA((n_out,))])
 
     kern = functools.partial(_kernel, cfg, C, H, Bi, n_win,
