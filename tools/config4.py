@@ -53,10 +53,13 @@ def main():
     m.run_segment(args.segment)          # compile + warm steady variant
     jax.block_until_ready(m.state.el)
     warm = m.iint
+    # always time at least one post-warm segment (so a restart exists
+    # for the resume check even when --steps <= 2 segments)
+    target = max(args.steps, warm + args.segment)
     t_compute = t_io = 0.0
     n_rst = n_out = 0
     t_all = time.perf_counter()
-    while m.iint < args.steps:
+    while m.iint < target:
         t0 = time.perf_counter()
         m.run_segment(args.segment)
         jax.block_until_ready(m.state.el)
