@@ -160,20 +160,13 @@ class Config:
     # between segments (the reference streams one record pair,
     # bounds_forcing.f:607-613).
     forcing_hbm_mb: int = 512
-    # Chunked grid-blocked external loop (ops/extblock.py): runs
-    # ext_chunk substeps per HBM pass over overlapping halo windows —
-    # the traffic reduction of the Pallas kernel at sizes beyond VMEM.
-    # "auto" enables it when the grid is at least 2x2 blocks (and the
-    # Pallas whole-grid kernel is not active); "on"/"off" force.
     # Fused Pallas Thomas solver for the vertical implicit solves
-    # (pallas/tridiag.py): one Mosaic kernel per solve with the elimination
-    # stacks VMEM-resident, replacing the unrolled XLA k-recurrences
-    # (hundreds of ~3us launch-bound kernels per step on the device trace).
-    # "auto" uses it on a single TPU; "on" forces (interpreted off-TPU).
+    # (pallas/tridiag.py): "on" forces the standalone kernel (valid on
+    # single devices and shard_map local blocks); "auto" resolves OFF —
+    # the fused phase kernels absorb the vertical solves on the fast
+    # path, and the standalone kernel measured as a net loss (r2
+    # regression; see pallas/tridiag.py).
     pallas_tridiag: str = "auto"
-    ext_block: str = "off"
-    ext_chunk: int = 5         # substeps per HBM pass (C)
-    ext_block_size: int = 256  # committed window interior (B)
     ext_halo_sub: int = 3      # halo cells consumed per substep (rho).
                                # The substep's true carry-stencil radius is
                                # 2 (flux->elf radius 1; advave/uaf chains

@@ -468,7 +468,7 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
     aux = (adx2d, ady2d, drx2d, dry2d, aam2d)
 
     from extpom_tpu.pallas import extloop, extwin
-    from extpom_tpu.ops import extblock, stencil
+    from extpom_tpu.ops import stencil
     from extpom_tpu.mesh import extchunk
     if extloop.use_pallas_ext(cfg):
         # whole loop VMEM-resident: one HBM read+write of the 2-D state
@@ -485,10 +485,6 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
         # shard_map local mode: one halo-ring exchange per C substeps
         carry = extchunk.run_external_loop_chunked(
             grid, cfg, carry0, fc, aux, stencil.domain_ctx())
-    elif extblock.use_blocked_ext(cfg):
-        # chunked halo windows: ext_chunk substeps per HBM pass
-        carry = extblock.run_external_loop_blocked(grid, cfg, carry0, fc,
-                                                   aux)
     else:
         def body(i, c):
             return mode_external_substep(grid, cfg, c, i, fc, aux)

@@ -19,8 +19,8 @@ extension of the static fields.
 Correctness at physical edges: ppermute non-receivers zero-fill the ring,
 matching ``sft``'s zero-fill-beyond-domain semantics, and every substep
 update is either put-masked on GLOBAL indices (out-of-domain rows keep
-their zero base) or arithmetic on already-zero values — the same
-invariant ops/extblock.py's padded windows rely on.
+their zero base) or arithmetic on already-zero values (the
+padded-window invariant, verified by the extwin equivalence tests).
 """
 
 from __future__ import annotations
@@ -129,7 +129,7 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
     fc_e = fc.replace(**fc_patch)
 
     # windowed ctx over the extended block: global offsets shift by -H on
-    # split axes (the extblock window pattern, ops/extblock.py:139-141)
+    # split axes (the same windowed-ctx pattern as pallas/extwin.py)
     win_ctx = stencil.DomainCtx(
         im=ctx.im, jm=ctx.jm, windowed=True,
         off_i=ctx.off_i - Hx, off_j=ctx.off_j - Hy)

@@ -63,11 +63,11 @@ class DomainCtx:
     off_i: Any = 0               # global row offset of this block (traced)
     off_j: Any = 0
     windowed: bool = False       # arrays are overlapping halo WINDOWS of
-                                 # the global domain (ops.extblock,
-                                 # pallas.phases): region masks use global
-                                 # indices, shifts stay local (progressive
-                                 # halo invalidation is accounted for by
-                                 # the window trim)
+                                 # the global domain (pallas.phases,
+                                 # pallas.extwin, mesh.extchunk): region
+                                 # masks use global indices, shifts stay
+                                 # local (progressive halo invalidation is
+                                 # accounted for by the window trim)
     edge_slice: bool = False     # windowed only: the window layout is
                                  # pad-free AND edge windows are clamped to
                                  # the domain boundary, so a global edge
@@ -326,9 +326,10 @@ def set_j(base: jnp.ndarray, j: int, val,
                         or (isinstance(ctx.off_j, int) and ctx.off_j == 0
                             and base.shape[-1] >= ctx.jm))))
     if val.ndim == base.ndim and j_whole:
-        # the j axis is not blocked here (pallas.phases windows only i;
-        # ops.extblock carries a traced off_j and is excluded), so the
-        # global column slicing applies — O(edge) column writes
+        # the j axis is not blocked here (the Pallas window kernels block
+        # only i; 2-D-windowed traces carry a traced off_j and are
+        # excluded), so the global column slicing applies — O(edge)
+        # column writes
         n = ctx.jm if ctx is not None else base.shape[-1]
         val = val[..., :, (j % n) if val.shape[-1] != 1 else 0]
     return put(base, _expand(base, val, -1, j), *region)

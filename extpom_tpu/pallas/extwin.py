@@ -4,8 +4,9 @@ The whole-grid VMEM-resident kernel (pallas/extloop.py) holds every 2-D
 field on-chip for all ``isplit`` substeps, but only fits up to ~512^2 f32
 on a v5e.  Above that the XLA ``fori_loop`` path round-trips the ~48-field
 working set through HBM EVERY substep (measured 44-46 % of the roofline at
-1024^2, ROOFLINE.md round 2), and the XLA-materialized window gather
-(ops/extblock.py) loses to its own pad/reassemble traffic.
+1024^2, ROOFLINE.md round 2), and an XLA-materialized window gather
+(round 2's ops/extblock.py, since removed) lost to its own
+pad/reassemble traffic.
 
 This kernel applies temporal tiling with MANUAL windows, the scheme the
 reference's halo machinery exists to serve (advance.f:205-353,

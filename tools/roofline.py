@@ -83,8 +83,9 @@ def ext_loop_model_bytes(im, jm, isplit, variant: str, cfg=None):
     """Hand model: minimum HBM traffic of the external loop per internal
     step.  XLA path: the live 2-D working set (14 carry + 11 grid + 5 aux +
     4 forcing reads, 14 writes) moves per SUBSTEP; Pallas VMEM-resident
-    path: once per STEP; blocked halo-window path: once per CHUNK of
-    ext_chunk substeps, inflated by the window-overlap factor on reads."""
+    path: once per STEP; chunked halo-window path (extwin): once per
+    chunk of C substeps, inflated by the window-overlap factor on
+    reads."""
     n_read, n_write = 34, 14
     per_pass = (n_read + n_write) * im * jm * 4
     if variant == "pallas":
@@ -96,13 +97,6 @@ def ext_loop_model_bytes(im, jm, isplit, variant: str, cfg=None):
         n_chunks = isplit // C
         # +6 windowed i-series reads per pass (FC_1D_I broadcast fields)
         return ((n_read + 6) * overlap + n_write) * im * jm * 4 * n_chunks
-    if variant == "block" and cfg is not None:
-        C = max(1, min(cfg.ext_chunk, isplit))
-        B = cfg.ext_block_size
-        H = C * cfg.ext_halo_sub
-        overlap = (B + 2 * H) ** 2 / B ** 2
-        n_chunks = -(-isplit // C)
-        return (n_read * overlap + n_write) * im * jm * 4 * n_chunks
     return per_pass * isplit
 
 
@@ -110,18 +104,15 @@ def measure_mode2(im, jm, isplit=30, n=20, variant="xla", kb=3, **cfg_kw):
     """External-2-D-mode-only step (mode=2): the BASELINE roofline gate is
     specifically on these stencils.  Returns (s/step, model bytes/step,
     HLO bytes/step).  variant: 'xla' (fori_loop), 'pallas' (whole-grid
-    VMEM kernel), 'block' (chunked halo windows, ops/extblock.py)."""
+    VMEM kernel), 'extwin' (chunked Pallas halo windows)."""
     from extpom_tpu.cases.seamount import seamount_model
     from extpom_tpu.core import stepper
 
-    pallas = {"xla": "off", "pallas": "on", "block": "off",
-              "extwin": "off"}[variant]
-    ext_block = "on" if variant == "block" else "off"
+    pallas = {"xla": "off", "pallas": "on", "extwin": "off"}[variant]
     extwin = "on" if variant == "extwin" else "off"
     m = seamount_model(im=im, jm=jm, kb=kb, mode=2, isplit=isplit,
                        donate=False, pallas_ext=pallas, lramp=False,
-                       ext_block=ext_block, pallas_extwin=extwin,
-                       **cfg_kw)
+                       pallas_extwin=extwin, **cfg_kw)
     run = stepper.make_run_fn(m.cfg, 1.0, donate=False)
     lowered = run.lower(m.grid, m.state, m.base_forcing, m.rmean, m.tclim,
                         m.sclim, 0, n, first=False, plan=None)
@@ -151,7 +142,7 @@ def main():
     ap.add_argument("--isplit", type=int, default=30)
     ap.add_argument("--mode2", action="store_true",
                     help="external-mode-only (mode=2) measurement")
-    ap.add_argument("--variants", default="xla,block",
+    ap.add_argument("--variants", default="xla,extwin",
                     help="comma list of xla,pallas,block (mode2 only)")
     args = ap.parse_args()
 
