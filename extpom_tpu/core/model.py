@@ -272,7 +272,14 @@ class Model:
             return None
         p = self.forcing_fn
         budget = self.cfg.forcing_hbm_mb * 2 ** 20
-        if fdev.plan_bytes(p) > budget and t0_days is not None:
+        # plan_bytes reads record 0 of every series from the host source —
+        # cache it per provider so run_segment does no per-segment host I/O
+        # when the fully-staged plan is already resident
+        cached = getattr(self, "_plan_bytes", None)
+        if cached is None or cached[0] is not p:
+            cached = (p, fdev.plan_bytes(p))
+            self._plan_bytes = cached
+        if cached[1] > budget and t0_days is not None:
             return fdev.make_device_plan(p, budget_bytes=budget,
                                          t0_days=t0_days,
                                          t1_days=t1_days)
@@ -295,15 +302,31 @@ class Model:
                 "(or none); use run() for arbitrary per-step forcing")
         if getattr(self, "_run_fn", None) is None:
             period = self.period if math.isfinite(self.period) else 1.0
-            self._run_fn = stepper.make_run_fn(
-                self.cfg, period, self.time0, donate=False)
+            if self._par_mode == "shardmap":
+                # whole segment scan inside the shard_map body (one
+                # dispatch per segment on the explicit ppermute path)
+                from extpom_tpu.mesh import shardmap
+                self._run_fn = shardmap.make_shardmap_run(
+                    self.mesh, self.grid, self.cfg, self.base_forcing,
+                    period, self.time0)
+            else:
+                self._run_fn = stepper.make_run_fn(
+                    self.cfg, period, self.time0, donate=False)
         fc = self.base_forcing
         t0 = self.time_days
         t1 = t0 + n_steps * self.cfg.dti / 86400.0
+        plan = self._device_plan(t0, t1)
+        if plan is not None and self._par_mode == "shardmap":
+            from extpom_tpu.mesh import shardmap
+            was_cached = (getattr(self, "_plan", None) is not None
+                          and plan is self._plan[0])
+            plan = shardmap.shard_plan(self.mesh, self.cfg, plan)
+            if was_cached:     # keep the sharded layout across segments
+                self._plan = (plan,)
         self.state = self._run_fn(self.grid, self.state, fc, self.rmean,
                                   self.tclim, self.sclim, self.iint,
                                   n_steps, first=(self.iint == 0),
-                                  plan=self._device_plan(t0, t1))
+                                  plan=plan)
         self.iint += n_steps
         return self.state
 

@@ -342,8 +342,7 @@ def mode_internal(grid: Grid, cfg: Config, st: State, fc: Forcing,
 
     if (not first) and cfg.mode != 2:
         from extpom_tpu.pallas import phases as pph
-        run = pph.runner(grid, cfg, fc) if pph.use_pallas_phases(cfg) \
-            else None
+        run = pph.make_runner(grid, cfg, fc)
 
         if run is not None:
             u, v, w = run.uvw(u, v, w, dt, st.utb, st.vtb, c.utf, c.vtf,
@@ -441,8 +440,8 @@ def lateral_terms(grid: Grid, cfg: Config, st: State, fc: Forcing,
         return st.aam, None, None, None, None
     dt = grid.h + st.et
     from extpom_tpu.pallas import phases as pph
-    if pph.use_pallas_phases(cfg):
-        run = pph.runner(grid, cfg, fc)
+    run = pph.make_runner(grid, cfg, fc)
+    if run is not None:
         return run.lat(st.u, st.v, st.ub, st.vb, st.aam, st.rho, rmean,
                        dt, grid.h + st.el)
     return phase_lat(grid, cfg, st.u, st.v, st.ub, st.vb, st.aam,

@@ -46,6 +46,12 @@ def use_chunked_local(cfg: Config, ctx, local_shape=None) -> bool:
 def _chunk(cfg: Config, ctx, local_shape) -> int:
     """Largest divisor C of isplit with ring width C x ext_halo_sub that
     fits the split local extents."""
+    if ctx.px <= 1 and ctx.py <= 1:
+        # unsplit mesh (shard_map 1x1): local shifts never cross a block
+        # boundary, no halo is consumed — the whole loop is one chunk
+        # (the VMEM-resident Pallas kernel then matches the single-device
+        # extloop pass exactly)
+        return cfg.isplit
     lim = cfg.isplit * cfg.ext_halo_sub
     if local_shape is not None:
         if ctx.px > 1:
@@ -58,18 +64,40 @@ def _chunk(cfg: Config, ctx, local_shape) -> int:
     return 1
 
 
-def _ring_extend(a, ctx, H: int):
+def _ring_extend(a, ctx, H: int, fill: float = 0.0, Hy: Optional[int] = None):
     """Local (.., ni, nj) block -> (.., ni+2Hx, nj+2Hy) with neighbor halo
-    rings (zeros beyond the physical domain).  Hx/Hy collapse to 0 on
-    un-split axes."""
+    rings.  Hx/Hy collapse to 0 on un-split axes; ``Hy`` overrides the
+    j-axis ring width (pallas.phases.mesh_runner keeps the lane extent
+    128-aligned with a wider y ring).
+
+    ``fill`` is the value rings take BEYOND the physical domain (ppermute
+    non-receivers).  Prognostic fields use 0.0 — matching ``sft``'s
+    zero-fill-beyond-domain semantics exactly (every committed-cell value
+    is put-masked on global indices, so out-of-domain rows keep their
+    base).  Grid metrics that sit in denominators use 1.0 (the same
+    GRID_PAD_ONE rule as mesh.padding): their out-of-domain values only
+    feed masked-away expression cells, but a 0 there makes every substep
+    compute 0/0 -> NaN intermediates whose silent propagation one
+    unmasked expression away — 1.0 keeps all halo arithmetic finite."""
     Hx = H if ctx.px > 1 else 0
-    Hy = H if ctx.py > 1 else 0
+    Hy = (H if Hy is None else Hy) if ctx.py > 1 else 0
+
+    def _fill_where_edge(recv, name, first_pos):
+        if fill == 0.0:
+            return recv
+        pos = lax.axis_index(name)
+        is_edge = (pos == 0) if first_pos else \
+            (pos == (ctx.px if name == ctx.axis_x else ctx.py) - 1)
+        return jnp.where(is_edge, jnp.full_like(recv, fill), recv)
+
     if Hx:
         idx = lambda s: (Ellipsis, s, slice(None))
         lo = lax.ppermute(a[idx(slice(-Hx, None))], ctx.axis_x,
                           [(p, p + 1) for p in range(ctx.px - 1)])
         hi = lax.ppermute(a[idx(slice(0, Hx))], ctx.axis_x,
                           [(p + 1, p) for p in range(ctx.px - 1)])
+        lo = _fill_where_edge(lo, ctx.axis_x, True)
+        hi = _fill_where_edge(hi, ctx.axis_x, False)
         a = jnp.concatenate([lo, a, hi], axis=-2)
     if Hy:
         idx = lambda s: (Ellipsis, s)
@@ -77,6 +105,8 @@ def _ring_extend(a, ctx, H: int):
                           [(p, p + 1) for p in range(ctx.py - 1)])
         hi = lax.ppermute(a[idx(slice(0, Hy))], ctx.axis_y,
                           [(p + 1, p) for p in range(ctx.py - 1)])
+        lo = _fill_where_edge(lo, ctx.axis_y, True)
+        hi = _fill_where_edge(hi, ctx.axis_y, False)
         a = jnp.concatenate([lo, a, hi], axis=-1)
     return a
 
@@ -94,34 +124,77 @@ def _ring_extend_1d(a, ctx, H: int, axis: str):
     return jnp.concatenate([lo, a, hi], axis=-1)
 
 
+def _use_pallas_chunk(cfg: Config, R: int, L: int) -> bool:
+    """Dispatch the VMEM-resident Pallas kernel for each C-substep chunk
+    (pallas.extloop.run_external_chunk_vmem) instead of the XLA fori body.
+    This is what carries the single-device external-mode speed onto the
+    mesh: per chunk, ONE kernel reads the extended 2-D working set from
+    HBM once instead of once per substep.  "on" forces (interpret
+    off-TPU: tests); "auto" requires TPU f32 and the extended local
+    working set within the device VMEM budget."""
+    import jax as _jax
+    from extpom_tpu.pallas import extloop
+    if cfg.pallas_ext == "off" or not extloop._HAVE_PLTPU:
+        return False
+    if cfg.pallas_ext == "on":
+        return True
+    n_blocks = (len(extloop.CARRY_FIELDS) + len(extloop.GRID_FIELDS)
+                + len(extloop.AUX_FIELDS) + len(extloop.FC_2D_FIELDS))
+    return (_jax.default_backend() == "tpu" and cfg.dtype == "float32"
+            and n_blocks * R * L * 4 <= extloop.device_vmem_budget())
+
+
 def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
     """Run the isplit external substeps in chunks of C on halo-extended
     local blocks.  Same contract as the other external-loop runners; must
-    be called inside shard_map local mode (``ctx.local``)."""
+    be called inside shard_map local mode (``ctx.local``).
+
+    Each chunk body runs either as one VMEM-resident Pallas kernel
+    (:func:`_use_pallas_chunk`) or as an XLA ``fori_loop`` under a
+    windowed DomainCtx — same substep source either way."""
     from extpom_tpu.core import stepper
+    from extpom_tpu.pallas import extloop
     from extpom_tpu.pallas.extloop import (GRID_FIELDS, FC_2D_FIELDS,
                                            FC_1D_J, FC_1D_I)
+    from extpom_tpu.mesh.padding import _GRID_PAD_ONE
+    import jax as _jax
 
     C = _chunk(cfg, ctx, c0.el.shape)
     H = C * cfg.ext_halo_sub
-    Hx = H if ctx.px > 1 else 0
-    Hy = H if ctx.py > 1 else 0
     n_chunks = cfg.isplit // C
 
     ni = c0.el.shape[-2]
     nj = c0.el.shape[-1]
 
-    ext = lambda a: _ring_extend(a, ctx, H)
-    # static fields: extended once
+    # y-ring width: on a real TPU the Pallas chunk kernel wants the lane
+    # extent of the extended block 128-aligned, so the y ring rounds up to
+    # a multiple of 64 (the extra rows carry further-valid neighbor data)
+    Hy_ring = H
+    if (_jax.default_backend() == "tpu" and ctx.py > 1
+            and cfg.pallas_ext != "off"):
+        Hy_ring = -(-H // 64) * 64
+        if Hy_ring > nj:               # ring wider than the neighbor block
+            Hy_ring = H
+    Hx = H if ctx.px > 1 else 0
+    Hy = Hy_ring if ctx.py > 1 else 0
+    R, L = ni + 2 * Hx, nj + 2 * Hy
+    use_pal = _use_pallas_chunk(cfg, R, L) and (
+        _jax.default_backend() != "tpu" or ctx.py == 1 or Hy % 64 == 0)
+
+    ext = lambda a: _ring_extend(a, ctx, H, Hy=Hy_ring)
+    # static fields: extended once; denominator metrics get 1.0 beyond the
+    # physical domain (finite halo arithmetic — the GRID_PAD_ONE rule)
     g_ns = type(grid)(**{  # Grid is a frozen dataclass pytree
-        **{f: ext(getattr(grid, f)) if getattr(grid, f).ndim >= 2
+        **{f: _ring_extend(getattr(grid, f), ctx, H, Hy=Hy_ring,
+                           fill=(1.0 if f in _GRID_PAD_ONE else 0.0))
+           if getattr(grid, f).ndim >= 2
            and getattr(grid, f).shape[-2:] == (ni, nj)
            else getattr(grid, f)
            for f in grid.__dataclass_fields__}})
     aux_e = tuple(ext(a) for a in aux)
     fc_patch = {f: ext(getattr(fc, f)) for f in FC_2D_FIELDS}
     fc_patch.update({f: _ring_extend_1d(
-        jnp.asarray(getattr(fc, f), c0.el.dtype), ctx, H, "y")
+        jnp.asarray(getattr(fc, f), c0.el.dtype), ctx, Hy_ring, "y")
         for f in FC_1D_J})
     fc_patch.update({f: _ring_extend_1d(
         jnp.asarray(getattr(fc, f), c0.el.dtype), ctx, H, "x")
@@ -130,19 +203,26 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
 
     # windowed ctx over the extended block: global offsets shift by -H on
     # split axes (the same windowed-ctx pattern as pallas/extwin.py)
+    goff = (ctx.off_i - Hx, ctx.off_j - Hy)
     win_ctx = stencil.DomainCtx(
         im=ctx.im, jm=ctx.jm, windowed=True,
-        off_i=ctx.off_i - Hx, off_j=ctx.off_j - Hy)
+        off_i=goff[0], off_j=goff[1])
 
     trim = lambda a: a[..., Hx:Hx + ni, Hy:Hy + nj] if (Hx or Hy) else a
+    interpret = _jax.default_backend() != "tpu"
 
     def chunk(ic, c):
         c = stepper.ExtCarry(*(ext(f) for f in c))
-        with stencil.domain(win_ctx):
-            def body(s, c):
-                return stepper.mode_external_substep(
-                    g_ns, cfg, c, ic * C + 1 + s, fc_e, aux_e)
-            c = lax.fori_loop(0, C, body, c)
+        if use_pal:
+            c = extloop.run_external_chunk_vmem(
+                g_ns, cfg, c, fc_e, aux_e, C, ic * C + 1, goff,
+                interpret=interpret)
+        else:
+            with stencil.domain(win_ctx):
+                def body(s, c):
+                    return stepper.mode_external_substep(
+                        g_ns, cfg, c, ic * C + 1 + s, fc_e, aux_e)
+                c = lax.fori_loop(0, C, body, c)
         return stepper.ExtCarry(*(trim(f) for f in c))
 
     return lax.fori_loop(0, n_chunks, chunk, c0)

@@ -122,6 +122,125 @@ def make_shardmap_step(mesh: Mesh, grid: Grid, cfg: Config,
     return step_fn
 
 
+def _plan_spec(plan, im, jm, px, py):
+    """Spec pytree for a staged :class:`extpom_tpu.forcing.device.
+    DevicePlan`: record stacks shard like the fields they feed ((nrec,
+    .., im, jm) -> (None, .., x, y); per-side series along their axis),
+    window starts replicate."""
+    if plan is None:
+        return None
+    from extpom_tpu.forcing.device import DevicePlan
+    x = "x" if px > 1 else None
+    y = "y" if py > 1 else None
+
+    def leaf(name, a):
+        nd, shape = a.ndim, a.shape
+        if nd >= 3 and shape[-2:] == (im, jm):
+            return P(*((None,) * (nd - 2)), x, y)
+        if name in FORCING_J_SERIES and shape[-1] == jm:
+            return P(*((None,) * (nd - 1)), y)
+        if name in FORCING_I_SERIES and shape[-1] == im:
+            return P(*((None,) * (nd - 1)), x)
+        return P()
+
+    return DevicePlan(
+        names=plan.names, cadences=plan.cadences, offsets=plan.offsets,
+        interp=plan.interp,
+        stacks=tuple(leaf(n, a) for n, a in zip(plan.names, plan.stacks)),
+        starts=tuple(P() for _ in plan.starts))
+
+
+def shard_plan(mesh: Mesh, cfg: Config, plan):
+    """Device-put a DevicePlan's record stacks with the shard_map layout
+    (already-laid-out leaves pass through, so the cached full plan costs
+    nothing after the first segment)."""
+    if plan is None:
+        return None
+    import numpy as np
+    spec = _plan_spec(plan, cfg.im, cfg.jm,
+                      mesh.shape["x"], mesh.shape["y"])
+    multi = jax.process_count() > 1
+
+    def put(a, s):
+        if (isinstance(a, jax.Array)
+                and isinstance(a.sharding, NamedSharding)
+                and a.sharding.mesh == mesh):
+            return a
+        ns = NamedSharding(mesh, s)
+        if multi:
+            host = np.asarray(a)
+            return jax.make_array_from_callback(
+                host.shape, ns, lambda idx: host[idx])
+        return jax.device_put(a, ns)
+
+    return dataclasses.replace(
+        plan,
+        stacks=tuple(put(a, s) for a, s in zip(plan.stacks, spec.stacks)),
+        starts=tuple(put(a, P()) for a in plan.starts))
+
+
+def make_shardmap_run(mesh: Mesh, grid: Grid, cfg: Config,
+                      fc_example: Forcing, period_days: float,
+                      time0_days: float = 0.0):
+    """Build a segment runner with the WHOLE ``run_steps`` scan inside the
+    shard_map body — one device dispatch per segment on the explicit
+    ppermute path, the reference's host-round-trip-free ``do iint=1,iend``
+    loop (pom.f:16-22).  Collectives are legal under ``lax.scan``, so the
+    chunked halo-ring external loop and the mesh-composed Pallas phase
+    kernels both dispatch inside the scan; staged DevicePlan forcing
+    series ride in sharded like the fields they feed and are interpolated
+    on device inside the scan.
+
+    Returns ``run(grid, st, fc, rmean, tclim, sclim, iint0, n_steps,
+    first=False, plan=None)`` — the :func:`extpom_tpu.core.stepper.
+    make_run_fn` contract."""
+    from extpom_tpu.core import stepper
+
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    im, jm = cfg.im, cfg.jm
+    if im % px or jm % py:
+        raise ValueError(f"grid {im}x{jm} does not divide mesh {px}x{py}; "
+                         "use mesh.padding.pad_model first")
+    ni, nj = im // px, jm // py
+
+    grid_spec = _spec_tree(grid, im, jm, px, py)
+    fc_spec = _spec_tree(fc_example, im, jm, px, py)
+    state_spec = _spec_tree_state(im, jm, px, py)
+    r3 = P(None, "x" if px > 1 else None, "y" if py > 1 else None)
+    cache = {}
+
+    def run(grid_a, st, fc, rmean, tclim, sclim, iint0, n_steps,
+            first=False, plan=None):
+        key = (int(n_steps), bool(first),
+               jax.tree_util.tree_structure(plan))
+        if key not in cache:
+            plan_spec = _plan_spec(plan, im, jm, px, py)
+
+            def local_run(grid_l, st_l, fc_l, rmean_l, tclim_l, sclim_l,
+                          iint0_l, plan_l):
+                ctx = stencil.DomainCtx(
+                    im=cfg.im_act or im, jm=cfg.jm_act or jm,
+                    axis_x="x", axis_y="y", px=px, py=py,
+                    off_i=lax.axis_index("x") * ni,
+                    off_j=lax.axis_index("y") * nj)
+                with stencil.domain(ctx):
+                    return stepper.run_steps(
+                        grid_l, cfg, st_l, fc_l, rmean_l, tclim_l,
+                        sclim_l, iint0_l, int(n_steps), period_days,
+                        time0_days, first=bool(first), plan=plan_l)
+
+            sm = shard_map(
+                local_run, mesh=mesh,
+                in_specs=(grid_spec, state_spec, fc_spec, r3, r3, r3,
+                          P(), plan_spec),
+                out_specs=state_spec, check_rep=False)
+            cache[key] = jax.jit(sm)
+        return cache[key](grid_a, st, fc, rmean, tclim, sclim,
+                          jnp.asarray(iint0), plan)
+
+    return run
+
+
 def _spec_tree_state(im, jm, px, py):
     from extpom_tpu.core.state import FIELDS_2D
     x = "x" if px > 1 else None

@@ -65,13 +65,27 @@ def device_vmem_budget() -> int:
     have ~16-32 MiB VMEM, where only a ~11 MiB input set (256x256 f32)
     leaves Mosaic headroom.  Unknown/CPU devices get the conservative
     number (auto dispatch never selects Pallas off-TPU anyway)."""
+    global _BUDGET_LOGGED
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:  # pragma: no cover - backend init failure
         return 11 * 2 ** 20
     if any(tag in kind for tag in ("v5", "v6", "v7")):
-        return 40 * 2 ** 20
-    return 11 * 2 ** 20
+        budget = 40 * 2 ** 20
+    else:
+        budget = 11 * 2 ** 20
+        if jax.default_backend() == "tpu" and not _BUDGET_LOGGED:
+            # an unrecognized TPU generation silently falls to the
+            # conservative budget (losing the 512^2 VMEM fast path) —
+            # say so once instead of silently
+            _BUDGET_LOGGED = True
+            print(f"# extpom_tpu: unrecognized TPU kind {kind!r}; using "
+                  f"conservative {budget >> 20} MiB VMEM input budget",
+                  flush=True)
+    return budget
+
+
+_BUDGET_LOGGED = False
 
 
 def fits_vmem(cfg: Config, budget_bytes: int | None = None) -> bool:
@@ -106,6 +120,97 @@ def use_pallas_ext(cfg: Config) -> bool:
     # ops must stay XLA so GSPMD can insert halo collective-permutes
     return (jax.default_backend() == "tpu" and jax.device_count() == 1
             and fits_vmem(cfg))
+
+
+def _chunk_kernel(cfg: Config, C: int, n_in: int, *refs):
+    """Shard_map chunk variant of :func:`_kernel`: run ``C`` substeps on a
+    halo-ring-extended LOCAL block held whole in VMEM, with region masks
+    resolving against global indices (the block's traced offset and the
+    chunk's first substep index ride in through SMEM)."""
+    from extpom_tpu.core import stepper
+    from extpom_tpu.ops import stencil
+
+    ins, outs = refs[:n_in], refs[n_in:]
+    it = iter(ins)
+
+    carry_vals = [next(it)[:] for _ in CARRY_FIELDS]
+    grid_vals = {f: next(it)[:] for f in GRID_FIELDS}
+    aux_vals = tuple(next(it)[:] for _ in AUX_FIELDS)
+    fc_vals = {f: next(it)[:] for f in FC_2D_FIELDS}
+    for f in FC_1D_J + FC_1D_I:
+        fc_vals[f] = next(it)[0]         # (1, n) block -> (n,)
+    smem_ref = next(it)                  # (1, 4): ramp, iext0, goff_i/j
+    fc_vals["ramp"] = smem_ref[0, 0]
+    iext0 = smem_ref[0, 1].astype(jnp.int32)
+    goff_i = smem_ref[0, 2].astype(jnp.int32)
+    goff_j = smem_ref[0, 3].astype(jnp.int32)
+
+    grid_ns = SimpleNamespace(**grid_vals)
+    fc_ns = SimpleNamespace(**fc_vals)
+    c = stepper.ExtCarry(*carry_vals)
+
+    im_act = cfg.im_act or cfg.im
+    jm_act = cfg.jm_act or cfg.jm
+    with stencil.domain(stencil.DomainCtx(
+            im=im_act, jm=jm_act, windowed=True,
+            off_i=goff_i, off_j=goff_j)):
+        for s in range(C):
+            c = stepper.mode_external_substep(
+                grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals)
+
+    for ref, val in zip(outs, c):
+        ref[:] = val
+
+
+def run_external_chunk_vmem(grid_ns, cfg: Config, c0, fc_ns, aux, C: int,
+                            iext0, goff, interpret: bool = False):
+    """Run ``C`` external substeps on a halo-ring-extended local block in
+    one VMEM-resident Pallas kernel (the shard_map composition of this
+    module: mesh/extchunk.py ring-exchanges once per chunk, this kernel
+    replaces its XLA fori body).  ``grid_ns``/``fc_ns`` are the extended
+    grid/forcing (Grid dataclass or namespace); ``goff`` the traced
+    global (i, j) index of extended-block cell (0, 0)."""
+    from extpom_tpu.core import stepper
+
+    dt_ = c0.el.dtype
+    R, L = c0.el.shape[-2], c0.el.shape[-1]
+
+    inputs = list(c0)
+    inputs += [getattr(grid_ns, f) for f in GRID_FIELDS]
+    inputs += list(aux)
+    inputs += [getattr(fc_ns, f) for f in FC_2D_FIELDS]
+    inputs += [jnp.asarray(getattr(fc_ns, f), dt_).reshape(1, -1)
+               for f in FC_1D_J + FC_1D_I]
+    smem_in = jnp.stack([
+        jnp.asarray(fc_ns.ramp, dt_),
+        jnp.asarray(iext0, dt_),
+        jnp.asarray(goff[0], dt_),
+        jnp.asarray(goff[1], dt_)]).reshape(1, 4)
+    inputs.append(smem_in)
+    n_in = len(inputs)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = ([vmem] * (len(CARRY_FIELDS) + len(GRID_FIELDS)
+                          + len(AUX_FIELDS) + len(FC_2D_FIELDS)
+                          + len(FC_1D_J) + len(FC_1D_I))
+                + [smem])
+    out_shape = tuple(jax.ShapeDtypeStruct((R, L), dt_)
+                      for _ in CARRY_FIELDS)
+
+    kernel = functools.partial(_chunk_kernel, cfg, C, n_in)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=tuple(vmem for _ in CARRY_FIELDS),
+        input_output_aliases={i: i for i in range(len(CARRY_FIELDS))},
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
+            if (_HAVE_PLTPU and not interpret) else None),
+    )(*inputs)
+    return stepper.ExtCarry(*outs)
 
 
 def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):

@@ -46,30 +46,46 @@ from extpom_tpu.pallas.extloop import (CARRY_FIELDS, GRID_FIELDS,
                                        FC_1D_J, FC_1D_I, fits_vmem)
 
 
+# window-set composition: input windows (carry+grid+aux+fc2+fci, double-
+# buffered) vs carry outputs — used by the traffic model in chunk_geometry
+_N_WIN = 40
+_N_OUT = 14
+
+
 def chunk_geometry(cfg: Config):
-    """(C substeps per pass, H halo rows, Bi interior rows) for this
-    config.  C divides isplit; H covers C x ext_halo_sub rounded up to a
-    sublane tile; Bi targets a ~55 MB window set scaled by jm."""
+    """(C substeps per pass, H halo rows, Bi interior rows, ok).
+
+    C divides isplit; H covers C x ext_halo_sub rounded up to a sublane
+    tile; Bi fills the cfg.extwin_budget_mb VMEM window budget at the
+    grid's jm.  C is chosen to minimize the MODELED total HBM traffic of
+    the whole loop, (isplit/C) x (n_win x (Bi+2H)/Bi + n_out) window
+    passes — larger C cuts passes but inflates the halo read
+    amplification (Bi+2H)/Bi, and on wide grids (small Bi) the optimum
+    walks down (round-3 accepted 2x amplification at 2048^2 and ran 82 %
+    vs 90 % at 1024^2).  ``ok`` is False when no divisor yields a window
+    that fits the i extent — callers must not dispatch then."""
     isplit = cfg.isplit
-    C = min(cfg.extwin_chunk, isplit)
-    while isplit % C:
-        C -= 1
-    # ~40 double-buffered input windows + 14 outputs + temporaries;
-    # budget cfg.extwin_budget_mb of windows.  When the halo would eat
-    # most of the window (wide grids), walk C down so the read
-    # amplification (Bi+2H)/Bi stays below ~1.6
     w_max = cfg.extwin_budget_mb * 2 ** 20 // (110 * 4 * cfg.jm)
-    while C > 1:
+    best = None
+    for C in range(min(cfg.extwin_chunk, isplit), 0, -1):
+        if isplit % C:
+            continue
         H = -(-(C * cfg.ext_halo_sub) // 8) * 8
-        bi = max((w_max - 2 * H) // 8 * 8, 8)
-        if bi >= 2 * H or isplit % C or C == 1:
-            break
-        C -= 1
-        while isplit % C:
-            C -= 1
-    H = -(-(C * cfg.ext_halo_sub) // 8) * 8
-    bi = max((w_max - 2 * H) // 8 * 8, 8)
-    return C, H, min(bi, max(cfg.im // 8 * 8 - 2 * H, 8))
+        bi = min((w_max - 2 * H) // 8 * 8, cfg.im // 8 * 8 - 2 * H)
+        if bi < 8:
+            continue
+        traffic = (isplit // C) * (_N_WIN * (bi + 2 * H) / bi + _N_OUT)
+        if best is None or traffic < best[0]:
+            best = (traffic, C, H, bi)
+    if best is None:
+        return 1, 8, 8, False
+    return best[1], best[2], best[3], True
+
+
+def _lane_aligned(cfg: Config) -> bool:
+    """Mosaic lane-dim tiling gate (see pallas.phases._geometry_ok): on a
+    real TPU the window DMA slices need a 128-aligned lane extent."""
+    return jax.default_backend() != "tpu" or cfg.jm % 128 == 0
 
 
 def use_pallas_extwin(cfg: Config) -> bool:
@@ -81,8 +97,8 @@ def use_pallas_extwin(cfg: Config) -> bool:
     ctx = stencil._ctx()
     if ctx is not None and ctx.block:
         return False
-    C, H, Bi = chunk_geometry(cfg)
-    if not (cfg.im % 8 == 0 and cfg.im >= Bi + 2 * H and C >= 1):
+    C, H, Bi, ok = chunk_geometry(cfg)
+    if not (ok and cfg.im % 8 == 0 and _lane_aligned(cfg)):
         return False
     if cfg.pallas_extwin == "on":
         return True
@@ -188,7 +204,7 @@ def run_external_loop_windowed(grid: Grid, cfg: Config, c0, fc, aux,
 
     dt_ = c0.el.dtype
     im, jm = cfg.im, cfg.jm
-    C, H, Bi = chunk_geometry(cfg)
+    C, H, Bi, _ = chunk_geometry(cfg)
     W = Bi + 2 * H
     n_chunks = cfg.isplit // C
 

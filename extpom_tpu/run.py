@@ -21,7 +21,11 @@ Config schema (all keys optional unless noted)::
       "nread_rst": 0, "read_rst_path": "out/run.rst.0003",
       "cont_bry": 0,
       # -- parallel execution (distribute_mpi analogue) --
-      "mesh": {"px": 2, "py": 4, "mode": "gspmd" | "shardmap"},
+      "mesh": {"px": 2, "py": 4, "mode": "shardmap" | "gspmd"},
+      #   shardmap (default): explicit ppermute halo exchange, chunked
+      #   halo-ring external loop, mesh-composed Pallas phase kernels,
+      #   and whole-segment scans; gspmd: let the XLA SPMD partitioner
+      #   insert the halo collectives (slower; kept for comparison)
       # multi-process: every process runs the same config; process_id /
       # num_processes default to JAX_PROCESS_ID / JAX_NUM_PROCESSES env
       "distributed": {"coordinator": "host:1234",
@@ -107,7 +111,12 @@ def build_model(conf: dict):
         from extpom_tpu.mesh.sharding import make_mesh
         mk = conf["mesh"]
         mesh = make_mesh(int(mk["px"]), int(mk["py"]))
-        m.shard(mesh, mode=mk.get("mode", "gspmd"))
+        # default shardmap: the explicit ppermute path holds 46-90 % of
+        # same-grid 1-device throughput on the virtual mesh vs GSPMD's
+        # 13-27 % (WEAKSCALING.md), composes with the Pallas fast paths
+        # (pallas.phases.mesh_runner), and scans whole segments in one
+        # dispatch (mesh.shardmap.make_shardmap_run)
+        m.shard(mesh, mode=mk.get("mode", "shardmap"))
     return m
 
 
@@ -160,11 +169,8 @@ def main(argv=None):
     # step.  Arbitrary per-step forcing_fn callables fall back to
     # step-at-a-time.
     from extpom_tpu.forcing.provider import ForcingProvider
-    use_segments = ((m.forcing_fn is None
-                     or isinstance(m.forcing_fn, ForcingProvider))
-                    # the explicit shard_map step has its own driver; keep
-                    # it step-at-a-time (its collectives are per-step)
-                    and getattr(m, "_par_mode", None) != "shardmap")
+    use_segments = (m.forcing_fn is None
+                    or isinstance(m.forcing_fn, ForcingProvider))
 
     n_out = 0
     t0 = _time.time()
@@ -181,6 +187,10 @@ def main(argv=None):
         else:
             for _ in range(nxt - m.iint):
                 m.step_once()
+        # a segment can land exactly on iswtch: the print cadence switches
+        # to prtd2 AT that step (advance.f:65-68), so re-derive iprint from
+        # the post-segment step count
+        iprint = cfg.iprint if m.iint < cfg.iswtch else cfg.iprint2
         if m.iint % iprint == 0 or m.iint == cfg.iend:
             s = {k: float(v) for k, v in diag_stats.domain_stats(
                 m.grid, cfg, m.state).items()}

@@ -36,8 +36,13 @@ from extpom_tpu.io import zarrstore as zio
 mode = sys.argv[4]
 m = seamount_model(im=32, jm=16, kb=7, dtype="float64", donate=False)
 m.shard(make_mesh(2, 1), mode=mode)
-for _ in range(3):
-    m.step_once()
+if mode == "shardmap":
+    # whole segment under one shard_map-wrapped lax.scan dispatch (the
+    # host-round-trip-free pom.f:16-22 loop; mesh.shardmap.make_shardmap_run)
+    m.run_segment(3)
+else:
+    for _ in range(3):
+        m.step_once()
 
 # cooperative per-shard writes (every process participates)
 zio.write_restart(out, m.state, m.iint)

@@ -1,0 +1,67 @@
+"""On-chip throughput of the shard_map path vs the plain single-device
+path — the round-4 "one machine" gate (VERDICT r3 #1: a shard_map(1x1)
+TPU run within 10 % of the single-device bench).
+
+Usage: python tools/meshbench.py [--im 256] [--kb 31] [--steps 50]
+
+Runs the seamount 3-D core (the bench.py configuration) twice on the
+attached device: plain (global arrays, Pallas fast paths) and
+shard_map(1x1) (explicit-path machinery: chunked halo-ring external loop
+with the VMEM Pallas chunk kernel, mesh-composed Pallas phase kernels,
+whole-segment scan inside the shard_map body).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_extpom"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def measure(im, jm, kb, n, mesh_mode):
+    from extpom_tpu.cases.seamount import seamount_model
+    from extpom_tpu.mesh.sharding import make_mesh
+
+    m = seamount_model(im=im, jm=jm, kb=kb, donate=False)
+    if mesh_mode:
+        m.shard(make_mesh(1, 1), mode=mesh_mode)
+    m.run_segment(n)
+    jax.block_until_ready(m.state.el)
+    m.run_segment(n)
+    jax.block_until_ready(m.state.el)
+    t0 = time.perf_counter()
+    m.run_segment(n)
+    jax.block_until_ready(m.state.el)
+    dt = time.perf_counter() - t0
+    return im * jm * kb * n / dt, dt / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--im", type=int, default=256)
+    ap.add_argument("--kb", type=int, default=31)
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+
+    rows = {}
+    for mode in (None, "shardmap"):
+        gps, spstep = measure(args.im, args.im, args.kb, args.steps, mode)
+        name = mode or "plain"
+        rows[name] = dict(gps=gps, ms_per_step=spstep * 1e3)
+        print(f"{name:9s}: {gps/1e6:8.1f} Mpt-steps/s "
+              f"({spstep*1e3:.2f} ms/step)", flush=True)
+    ratio = rows["shardmap"]["gps"] / rows["plain"]["gps"]
+    print(f"shardmap(1x1) / plain = {ratio:.3f}")
+    print(json.dumps({"rows": rows, "ratio": round(ratio, 4)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,7 +92,7 @@ def ext_loop_model_bytes(im, jm, isplit, variant: str, cfg=None):
         return per_pass
     if variant == "extwin" and cfg is not None:
         from extpom_tpu.pallas.extwin import chunk_geometry
-        C, H, Bi = chunk_geometry(cfg)
+        C, H, Bi, _ = chunk_geometry(cfg)
         overlap = (Bi + 2 * H) / Bi
         n_chunks = isplit // C
         # +6 windowed i-series reads per pass (FC_1D_I broadcast fields)
