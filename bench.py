@@ -4,7 +4,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The metric is grid-points/s/chip on the full mode-split 3-D step
 (BASELINE.json primary metric).  The reference publishes no numbers
 ("published": {}), so vs_baseline is the ratio to the PREVIOUS round's
-recorded result (BENCH_r02: 3.891e8 grid-point-steps/s) — the only perf
+recorded result (BENCH_r03: 7.322e8 grid-point-steps/s) — the only perf
 comparison this project has; >1.0 means this round got faster.
 """
 
@@ -31,8 +31,12 @@ def _run(tridiag: str) -> float:
                        pallas_tridiag=tridiag)
 
     # scanned segments amortize per-step dispatch (the production path);
-    # keep one segment size so only two variants compile (first / steady)
-    n = 50
+    # keep one segment size so only two variants compile (first / steady).
+    # n=200 ~ a half-day print interval at dti=180 s — the axon tunnel
+    # costs ~20 ms of RPC per dispatch, so short segments understate the
+    # chip (r4: 790 Mpt-steps/s at n=50 vs 929 at n=200, device-side
+    # in-trace time 2.054 ms/step either way)
+    n = 200
     m.run_segment(n)              # compiles the first-step variant
     jax.block_until_ready(m.state.el)
     m.run_segment(n)              # compiles + warms the steady variant
@@ -59,7 +63,7 @@ def main():
                   f"{type(e).__name__}", flush=True)
     if gps is None:
         raise SystemExit(1)
-    prev_round = 3.891e8           # BENCH_r02 on the same chip/config
+    prev_round = 7.322e8           # BENCH_r03 on the same chip/config
     print(json.dumps({
         "metric": "seamount3d_grid_points_per_s_per_chip",
         "value": round(gps, 1),

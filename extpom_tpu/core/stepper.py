@@ -76,6 +76,44 @@ def mode_interaction(grid: Grid, cfg: Config, st: State,
             egf, utf, vtf)
 
 
+def ext_precompute(grid):
+    """Loop-invariant derived metrics of the external mode, hoisted out of
+    the isplit substep loop (ROOFLINE r3: the VMEM-resident external loop
+    is VPU-bound, and these static shift/sum/reciprocal subexpressions
+    were being recomputed every substep — ~18 shifted adds and ~6 divides
+    per point per substep in advance.f:205-353 + solver.f:16-121 terms).
+
+    Call ONCE per trace or kernel instance under the ambient DomainCtx
+    (inside the Pallas kernels the values live in VMEM across the loop;
+    under shard_map local mode the sft halo permutes run once instead of
+    per substep).  Consumes one extra halo cell relative to the substep
+    chain — covered by ext_halo_sub's margin (radius 2 + 1 <= 3/substep).
+
+    Reciprocals (rart, rdx, rdy, rdx4, rdy4) replace divisions by static
+    metrics with multiplies; results differ from the reference's division
+    only at the ULP level (oracle tolerances 1e-8..1e-10 at f64)."""
+    from types import SimpleNamespace
+    dx, dy, h, cor, art = grid.dx, grid.dy, grid.h, grid.cor, grid.art
+    one = jnp.ones((), dx.dtype)
+    dx4 = dx + sft(dx, -1, 0) + sft(dx, 0, -1) + sft(dx, -1, -1)
+    dy4 = dy + sft(dy, -1, 0) + sft(dy, 0, -1) + sft(dy, -1, -1)
+    return SimpleNamespace(
+        dyu=dy + sft(dy, -1, 0),       # u-face dy pair (advance.f:212,254)
+        dxv=dx + sft(dx, 0, -1),       # v-face dx pair (advance.f:216,272)
+        hu=h + sft(h, -1, 0),          # u-face depth pair (advance.f:261-266)
+        hv=h + sft(h, 0, -1),
+        corw=sft(cor, -1, 0),          # Coriolis neighbors (advance.f:243,276)
+        cors=sft(cor, 0, -1),
+        rart=one / art,
+        rdx=one / dx,
+        rdy=one / dy,
+        dx4=dx4,                       # corner sums (solver.f:20-23)
+        dy4=dy4,
+        rdx4=one / jnp.where(dx4 == 0, one, dx4),
+        rdy4=one / jnp.where(dy4 == 0, one, dy4),
+    )
+
+
 class ExtCarry(NamedTuple):
     el: jnp.ndarray
     elb: jnp.ndarray
@@ -94,25 +132,28 @@ class ExtCarry(NamedTuple):
 
 
 def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
-                          fc: Forcing, aux) -> ExtCarry:
+                          fc: Forcing, aux, em=None) -> ExtCarry:
     """One external (2-D) leapfrog substep (advance.f:205-353).
 
     ``iext`` is the 1-based substep counter (traced); ``aux`` holds the
     step-constant 2-D forcing terms (adx2d, ady2d, drx2d, dry2d, aam2d,
-    wusurf, wvsurf, vfluxf, e_atmos, ramp)."""
+    wusurf, wvsurf, vfluxf, e_atmos, ramp); ``em`` the loop-invariant
+    derived metrics (:func:`ext_precompute`, computed here when the
+    caller has no loop to hoist them out of)."""
     (adx2d, ady2d, drx2d, dry2d, aam2d) = aux
-    h, dx, dy, art, aru, arv, cor = (grid.h, grid.dx, grid.dy, grid.art,
-                                     grid.aru, grid.arv, grid.cor)
+    if em is None:
+        em = ext_precompute(grid)
+    h, aru, arv, cor = grid.h, grid.aru, grid.arv, grid.cor
     d = h + c.el
     z2 = jnp.zeros_like(d)
 
     # free surface (advance.f:211-229)
-    fluxua = put(z2, 0.25 * (d + sft(d, -1, 0)) * (dy + sft(dy, -1, 0)) * c.ua,
+    fluxua = put(z2, 0.25 * (d + sft(d, -1, 0)) * em.dyu * c.ua,
                  slice(1, None), slice(1, None))
-    fluxva = put(z2, 0.25 * (d + sft(d, 0, -1)) * (dx + sft(dx, 0, -1)) * c.va,
+    fluxva = put(z2, 0.25 * (d + sft(d, 0, -1)) * em.dxv * c.va,
                  slice(1, None), slice(1, None))
     elf = put(z2, c.elb + cfg.dte2 * (
-        -(sft(fluxua, 1, 0) - fluxua + sft(fluxva, 0, 1) - fluxva) / art
+        -(sft(fluxua, 1, 0) - fluxua + sft(fluxva, 0, 1) - fluxva) * em.rart
         - fc.vflux),
         slice(1, -1), slice(1, -1))
     if cfg.bc_scheme == "orlanski":
@@ -124,7 +165,7 @@ def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
     def do_advave(c):
         advua, advva, wubot, wvbot = advection2d.advave(
             grid, cfg, d, c.ua, c.va, c.uab, c.vab, aam2d,
-            c.wubot, c.wvbot)
+            c.wubot, c.wvbot, em=em)
         return advua, advva, wubot, wvbot
 
     if cfg.ispadv == 1:
@@ -141,9 +182,9 @@ def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
     uaf = put(z2,
               adx2d + advua
               - aru * 0.25 * (cor * d * (sft(c.va, 0, 1) + c.va)
-                              + sft(cor, -1, 0) * sft(d, -1, 0)
+                              + em.corw * sft(d, -1, 0)
                               * (sft(c.va, -1, 1) + sft(c.va, -1, 0)))
-              + 0.25 * cfg.grav * (dy + sft(dy, -1, 0)) * (d + sft(d, -1, 0))
+              + 0.25 * cfg.grav * em.dyu * (d + sft(d, -1, 0))
               * ((1.0 - 2.0 * alpha) * (c.el - sft(c.el, -1, 0))
                  + alpha * (c.elb - sft(c.elb, -1, 0)
                             + elf - sft(elf, -1, 0))
@@ -151,17 +192,17 @@ def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
               + drx2d + aru * (fc.wusurf - wubot),
               slice(1, None), slice(1, -1))
     uaf = put(z2,
-              ((h + c.elb + sft(h, -1, 0) + sft(c.elb, -1, 0)) * aru * c.uab
+              ((em.hu + c.elb + sft(c.elb, -1, 0)) * aru * c.uab
                - 4.0 * cfg.dte * uaf)
-              / ((h + elf + sft(h, -1, 0) + sft(elf, -1, 0)) * aru),
+              / ((em.hu + elf + sft(elf, -1, 0)) * aru),
               slice(1, None), slice(1, -1))
 
     vaf = put(z2,
               ady2d + advva
               + arv * 0.25 * (cor * d * (sft(c.ua, 1, 0) + c.ua)
-                              + sft(cor, 0, -1) * sft(d, 0, -1)
+                              + em.cors * sft(d, 0, -1)
                               * (sft(c.ua, 1, -1) + sft(c.ua, 0, -1)))
-              + 0.25 * cfg.grav * (dx + sft(dx, 0, -1)) * (d + sft(d, 0, -1))
+              + 0.25 * cfg.grav * em.dxv * (d + sft(d, 0, -1))
               * ((1.0 - 2.0 * alpha) * (c.el - sft(c.el, 0, -1))
                  + alpha * (c.elb - sft(c.elb, 0, -1)
                             + elf - sft(elf, 0, -1))
@@ -169,9 +210,9 @@ def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
               + dry2d + arv * (fc.wvsurf - wvbot),
               slice(1, -1), slice(1, None))
     vaf = put(z2,
-              ((h + c.elb + sft(h, 0, -1) + sft(c.elb, 0, -1)) * arv * c.vab
+              ((em.hv + c.elb + sft(c.elb, 0, -1)) * arv * c.vab
                - 4.0 * cfg.dte * vaf)
-              / ((h + elf + sft(h, 0, -1) + sft(elf, 0, -1)) * arv),
+              / ((em.hv + elf + sft(elf, 0, -1)) * arv),
               slice(1, -1), slice(1, None))
 
     if cfg.bc_scheme == "orlanski":
@@ -485,8 +526,10 @@ def _step(grid: Grid, cfg: Config, st: State, fc: Forcing,
         carry = extchunk.run_external_loop_chunked(
             grid, cfg, carry0, fc, aux, stencil.domain_ctx())
     else:
+        em = ext_precompute(grid)
+
         def body(i, c):
-            return mode_external_substep(grid, cfg, c, i, fc, aux)
+            return mode_external_substep(grid, cfg, c, i, fc, aux, em=em)
 
         carry = lax.fori_loop(1, cfg.isplit + 1, body, carry0,
                               unroll=min(cfg.ext_unroll, cfg.isplit))

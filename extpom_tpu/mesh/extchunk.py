@@ -219,9 +219,11 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
                 interpret=interpret)
         else:
             with stencil.domain(win_ctx):
+                em = stepper.ext_precompute(g_ns)
+
                 def body(s, c):
                     return stepper.mode_external_substep(
-                        g_ns, cfg, c, ic * C + 1 + s, fc_e, aux_e)
+                        g_ns, cfg, c, ic * C + 1 + s, fc_e, aux_e, em=em)
                 c = lax.fori_loop(0, C, body, c)
         return stepper.ExtCarry(*(trim(f) for f in c))
 

@@ -20,18 +20,23 @@ from extpom_tpu.ops.stencil import sft, put, s_
 def advave(grid: Grid, cfg: Config,
            d: jnp.ndarray, ua: jnp.ndarray, va: jnp.ndarray,
            uab: jnp.ndarray, vab: jnp.ndarray, aam2d: jnp.ndarray,
-           wubot: jnp.ndarray, wvbot: jnp.ndarray,
+           wubot: jnp.ndarray, wvbot: jnp.ndarray, em=None,
            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (advua, advva, wubot, wvbot).
 
     wubot/wvbot are updated only in mode 2 (bottom stress from the depth
     mean flow, solver.f:123-143); otherwise passed through unchanged.
+    ``em`` carries the loop-invariant derived metrics
+    (core.stepper.ext_precompute) when the caller runs this every
+    external substep.
     """
     dx, dy = grid.dx, grid.dy
     z = jnp.zeros_like(d)
 
-    dx4 = dx + sft(dx, -1, 0) + sft(dx, 0, -1) + sft(dx, -1, -1)
-    dy4 = dy + sft(dy, -1, 0) + sft(dy, 0, -1) + sft(dy, -1, -1)
+    if em is None:
+        from extpom_tpu.core.stepper import ext_precompute
+        em = ext_precompute(grid)
+    dx4, dy4 = em.dx4, em.dy4
 
     # ---- u advection & diffusion (solver.f:16-70) ----
     # advective fluxes
@@ -45,15 +50,15 @@ def advave(grid: Grid, cfg: Config,
                  slice(1, None), slice(1, None))
     # viscous flux (solver.f:37-43)
     fluxua = put(fluxua,
-                 fluxua - d * 2.0 * aam2d * (sft(uab, 1, 0) - uab) / dx,
+                 fluxua - d * 2.0 * aam2d * (sft(uab, 1, 0) - uab) * em.rdx,
                  slice(1, -1), slice(1, None))
     # cross term + metric scaling (solver.f:45-58); tps is reused by the
     # v-part below, exactly as in the reference
     tps = put(z, 0.25 * (d + sft(d, -1, 0) + sft(d, 0, -1) + sft(d, -1, -1))
               * (aam2d + sft(aam2d, 0, -1) + sft(aam2d, -1, 0)
                  + sft(aam2d, -1, -1))
-              * ((uab - sft(uab, 0, -1)) / dy4
-                 + (vab - sft(vab, -1, 0)) / dx4),
+              * ((uab - sft(uab, 0, -1)) * em.rdy4
+                 + (vab - sft(vab, -1, 0)) * em.rdx4),
               slice(1, None), slice(1, None))
     fluxua = put(fluxua, fluxua * dy, slice(1, None), slice(1, None))
     fluxva = put(fluxva, (fluxva - tps) * 0.25 * dx4,
@@ -72,7 +77,7 @@ def advave(grid: Grid, cfg: Config,
                  * (sft(va, 0, 1) + va),
                  slice(1, None), slice(1, -1))
     fluxva = put(fluxva,
-                 fluxva - d * 2.0 * aam2d * (sft(vab, 0, 1) - vab) / dy,
+                 fluxva - d * 2.0 * aam2d * (sft(vab, 0, 1) - vab) * em.rdy,
                  slice(1, None), slice(1, -1))
     fluxva = put(fluxva, fluxva * dx, slice(1, None), slice(1, None))
     fluxua = put(fluxua, (fluxua - tps) * 0.25 * dy4,
@@ -102,7 +107,7 @@ def advave(grid: Grid, cfg: Config,
         # physical west/south edge is the global i=3../j=3.. region
         curv2d = put(z, 0.25 * ((sft(va, 0, 1) + va) * (sft(dy, 1, 0) - sft(dy, -1, 0))
                                 - (sft(ua, 1, 0) + ua) * (sft(dx, 0, 1) - sft(dx, 0, -1)))
-                     / (dx * dy),
+                     * em.rart,
                      slice(1, -1), slice(1, -1))
         advua = put(advua,
                     advua - grid.aru * 0.25

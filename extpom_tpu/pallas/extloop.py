@@ -154,9 +154,20 @@ def _chunk_kernel(cfg: Config, C: int, n_in: int, *refs):
     with stencil.domain(stencil.DomainCtx(
             im=im_act, jm=jm_act, windowed=True,
             off_i=goff_i, off_j=goff_j)):
-        for s in range(C):
-            c = stepper.mode_external_substep(
-                grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals)
+        em = stepper.ext_precompute(grid_ns)
+        # rolled loop (see _kernel): a C-way Python unroll makes the
+        # Mosaic program C x bigger and dominates compile time
+        unroll = max(1, min(cfg.ext_unroll, C))
+        if unroll >= C:
+            for s in range(C):
+                c = stepper.mode_external_substep(
+                    grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals, em=em)
+        else:
+            def body(s, c):
+                return stepper.mode_external_substep(
+                    grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals, em=em)
+
+            c = jax.lax.fori_loop(0, C, body, c, unroll=unroll)
 
     for ref, val in zip(outs, c):
         ref[:] = val
@@ -237,6 +248,9 @@ def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):
     fc_ns = SimpleNamespace(**fc_vals)
     c = stepper.ExtCarry(*carry_vals)
 
+    # loop-invariant derived metrics live in VMEM across the whole loop
+    em = stepper.ext_precompute(grid_ns)
+
     # rolled loop: keeps the Mosaic program ~isplit x smaller than a Python
     # unroll, which dominates compile time at production grid sizes
     # (ext_unroll > 1 trades compile time back for schedule freedom)
@@ -244,11 +258,11 @@ def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):
     if unroll >= cfg.isplit:
         for iext in range(1, cfg.isplit + 1):
             c = stepper.mode_external_substep(
-                grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals)
+                grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals, em=em)
     else:
         def body(i, c):
             return stepper.mode_external_substep(
-                grid_ns, cfg, c, i, fc_ns, aux_vals)
+                grid_ns, cfg, c, i, fc_ns, aux_vals, em=em)
 
         c = jax.lax.fori_loop(1, cfg.isplit + 1, body, c,
                               unroll=unroll)

@@ -180,20 +180,41 @@ def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
     with stencil.domain(stencil.DomainCtx(
             im=im_act, jm=jm_act, windowed=True, off_i=start,
             edge_slice=(im_act == im))):
+        em = stepper.ext_precompute(grid_ns)
         for s in range(C):
             c = stepper.mode_external_substep(
-                grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals)
+                grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals, em=em)
 
-    copies = []
-    for k, (val, s, r) in enumerate(zip(c, out_scr, out_refs)):
-        s[:] = val
-        cp = pltpu.make_async_copy(
-            s.at[pl.ds(off, Bi), :], r.at[pl.ds(j0, Bi), :],
-            sem_out.at[k])
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+    # two-slot OUTPUT pipeline (same as pallas.phases._kernel): this
+    # stripe's carry write-back drains while the next stripe computes;
+    # the slot frees when the copy from two iterations ago lands, and
+    # the final stripe drains both slots.
+    n_out_c = len(CARRY_FIELDS)
+
+    def out_copy(k, sl):
+        return pltpu.make_async_copy(
+            out_scr[k].at[sl, pl.ds(off, Bi), :],
+            out_refs[k].at[pl.ds(j0, Bi), :], sem_out.at[sl, k])
+
+    @pl.when(i >= 2)
+    def _():
+        for k in range(n_out_c):
+            out_copy(k, slot).wait()
+
+    for k, val in enumerate(c):
+        out_scr[k][slot] = val
+    for k in range(n_out_c):
+        out_copy(k, slot).start()
+
+    @pl.when((i == nblk - 1) & (i >= 1))
+    def _():
+        for k in range(n_out_c):
+            out_copy(k, 1 - slot).wait()
+
+    @pl.when(i == nblk - 1)
+    def _():
+        for k in range(n_out_c):
+            out_copy(k, slot).wait()
 
 
 def run_external_loop_windowed(grid: Grid, cfg: Config, c0, fc, aux,
@@ -232,9 +253,9 @@ def run_external_loop_windowed(grid: Grid, cfg: Config, c0, fc, aux,
     out_shape = tuple(jax.ShapeDtypeStruct((im, jm), dt_)
                       for _ in CARRY_FIELDS)
     scratch = ([pltpu.VMEM((2, W, jm), dt_) for _ in range(n_win)]
-               + [pltpu.VMEM((W, jm), dt_) for _ in range(n_out)]
+               + [pltpu.VMEM((2, W, jm), dt_) for _ in range(n_out)]
                + [pltpu.SemaphoreType.DMA((2, n_win)),
-                  pltpu.SemaphoreType.DMA((n_out,))])
+                  pltpu.SemaphoreType.DMA((2, n_out))])
 
     kern = functools.partial(_kernel, cfg, C, H, Bi, n_win,
                              win_names, rep_names)

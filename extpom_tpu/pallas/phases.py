@@ -195,17 +195,51 @@ def _kernel(im: int, Bi: int, H: int, n_win: int, n_rep: int, n_out: int,
     goff = (off_ref[0, 0], off_ref[0, 1]) if has_off else None
     out_vals = body(win_vals, rep_vals, start, goff)
 
-    copies = []
-    for k, (val, s, r) in enumerate(zip(out_vals, out_scr, out_refs)):
-        s[:] = val
+    def out_copy(k, slot):
+        s, r = out_scr[k], out_refs[k]
         pre = (slice(None),) * (len(r.shape) - 2)
-        cp = pltpu.make_async_copy(
-            s.at[pre + (pl.ds(off, Bi), slice(None))],
-            r.at[pre + (pl.ds(j0, Bi), slice(None))], sem_out.at[k])
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+        src = (s.at[slot] if double else s).at[
+            pre + (pl.ds(off, Bi), slice(None))]
+        return pltpu.make_async_copy(
+            src, r.at[pre + (pl.ds(j0, Bi), slice(None))],
+            sem_out.at[slot, k] if double else sem_out.at[k])
+
+    if double:
+        # two-slot OUTPUT pipeline: this window's interior write-back
+        # drains while the next window computes (the tail wait was
+        # serializing ~out_bytes/BW of idle VPU time per window).  The
+        # slot is reusable once the copy issued two iterations ago (same
+        # slot) completes; the final window drains both slots.
+        nblk = pl.num_programs(0)
+
+        @pl.when(i >= 2)
+        def _():
+            for k in range(n_out):
+                out_copy(k, slot).wait()
+
+        for k, val in enumerate(out_vals):
+            out_scr[k][slot] = val
+        for k in range(n_out):
+            out_copy(k, slot).start()
+
+        @pl.when((i == nblk - 1) & (i >= 1))
+        def _():
+            for k in range(n_out):
+                out_copy(k, 1 - slot).wait()
+
+        @pl.when(i == nblk - 1)
+        def _():
+            for k in range(n_out):
+                out_copy(k, slot).wait()
+    else:
+        copies = []
+        for k, val in enumerate(out_vals):
+            out_scr[k][:] = val
+            cp = out_copy(k, 0)
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
 
 
 def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
@@ -278,10 +312,10 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
     slots = (2,) if double else ()
     scratch = ([pltpu.VMEM(slots + _win_shape(a.shape, W), a.dtype)
                 for a in win_in]
-               + [pltpu.VMEM(_win_shape(t.shape, W), t.dtype)
+               + [pltpu.VMEM(slots + _win_shape(t.shape, W), t.dtype)
                   for t in out_templates]
                + [pltpu.SemaphoreType.DMA(slots + (max(n_win, 1),)),
-                  pltpu.SemaphoreType.DMA((max(n_out, 1),))])
+                  pltpu.SemaphoreType.DMA(slots + (max(n_out, 1),))])
 
     has_off = off is not None
     extra_in = []

@@ -16,6 +16,8 @@ Config schema (all keys optional unless noted)::
       "init": "in/init.zarr",
       "sfrc": "in/sfrc.zarr",                # surface forcing series
       "lbry": "in/lbry.zarr",                # lateral boundary series
+      #   (sfrc/lbry accept a Zarr dataset dir OR a dir of .efr files,
+      #    which open through the native record store, native/recordio)
       "config": {"mode": 3, "dte": 6.0, "days": 1.0, ...},
       "out_dir": "out",
       "nread_rst": 0, "read_rst_path": "out/run.rst.0003",
@@ -41,6 +43,24 @@ import sys
 import time as _time
 
 import numpy as np
+
+
+def _open_source(path: str):
+    """Forcing record source by format sniff: a directory of ``.efr``
+    files opens through the native mmap record store
+    (native/recordio.cpp, ctypes-bound — the reference's Fortran record
+    readers, bounds_forcing.f:871-960, as a native component); anything
+    else opens as a Zarr dataset."""
+    from extpom_tpu.io import zarrstore as zio
+    if (os.path.isdir(path)
+            and any(fn.endswith(".efr") for fn in os.listdir(path))):
+        from extpom_tpu.native import recordio
+        if not recordio.available():
+            raise RuntimeError(
+                f"{path} holds EFR records but librecordio is "
+                "unavailable (no g++)")
+        return recordio.NativeRecordSource(path)
+    return zio.ZarrSource(path)
 
 
 def build_model(conf: dict):
@@ -79,7 +99,7 @@ def build_model(conf: dict):
         sources.append(src)
     for key in ("sfrc", "lbry"):
         if key in conf:
-            sources.append(zio.ZarrSource(conf[key]))
+            sources.append(_open_source(conf[key]))
     if sources:
         # merge sources into one view
         class _Multi:
@@ -92,11 +112,17 @@ def build_model(conf: dict):
                     out.extend(s.names())
                 return out
 
-            def read(self, name, n):
+            def _owner(self, name):
                 for s in self.srcs:
                     if name in s.names():
-                        return s.read(name, n)
+                        return s
                 raise KeyError(name)
+
+            def nrec(self, name):
+                return self._owner(name).nrec(name)
+
+            def read(self, name, n):
+                return self._owner(name).read(name, n)
         m.forcing_fn = ForcingProvider(
             grid, cfg, m.base_forcing, _Multi(sources),
             cont_bry_offset=int(conf.get("cont_bry", 0)))
@@ -172,6 +198,17 @@ def main(argv=None):
     use_segments = (m.forcing_fn is None
                     or isinstance(m.forcing_fn, ForcingProvider))
 
+    # async writer: snapshot/restart writes run on a worker thread while
+    # the next segment computes (io.asyncwriter — the compute-stalling
+    # collective write of the reference, io_pnetcdf.F:57-410, removed
+    # from the critical path).  Requires the donate=False segment path:
+    # the step-at-a-time fallback donates state buffers, so it writes
+    # synchronously.
+    from extpom_tpu.io.asyncwriter import AsyncWriter
+    writer = AsyncWriter() if use_segments else None
+    submit = (writer.submit if writer is not None
+              else (lambda fn, *a, **k: fn(*a, **k)))
+
     n_out = 0
     t0 = _time.time()
     while m.iint < cfg.iend:
@@ -206,14 +243,17 @@ def main(argv=None):
                    f"taver = {s['taver']:.7e}  saver = {s['saver']:.7e}")
             n_out += 1
             extra = {"wr": m.compute_wr()} if cfg.calc_wr else None
-            zio.write_output(
-                os.path.join(out_dir, f"{run}.{m.iint:06d}"),
-                m.grid, cfg, m.state, m.time_days, s, extra=extra)
+            submit(zio.write_output,
+                   os.path.join(out_dir, f"{run}.{m.iint:06d}"),
+                   m.grid, cfg, m.state, m.time_days, s, extra=extra)
         if m.iint % cfg.irestart == 0:
-            zio.write_restart(
-                os.path.join(out_dir, f"{run}.rst.{m.iint:06d}"),
-                m.state, m.iint, m.time0)
-    mode_s = "scanned segments" if use_segments else "step-at-a-time"
+            submit(zio.write_restart,
+                   os.path.join(out_dir, f"{run}.rst.{m.iint:06d}"),
+                   m.state, m.iint, m.time0)
+    if writer is not None:
+        writer.close()            # drain the last interval's writes
+    mode_s = ("scanned segments + async writes" if use_segments
+              else "step-at-a-time")
     wall = _time.time() - t0
     gps = cfg.im * cfg.jm * cfg.kb * m.iint / max(wall, 1e-9)
     _print(f"wall clock: {wall:.1f} s for {m.iint} steps "
