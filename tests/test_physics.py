@@ -174,6 +174,137 @@ def test_geostrophic_balance_persists():
     assert drift < 0.02 * tilt, (drift, tilt)
 
 
+def test_internal_wave_phase_speed():
+    """Mode-1 internal gravity wave on a two-layer stratification in a
+    flat non-rotating channel: crest speed = sqrt(g' h1 h2 / (h1+h2)) to
+    ~10 % (two-layer analytic; the tanh interface and sigma
+    discretization account for the slack).  Exercises the BAROCLINIC
+    dynamics — baropg (solver.f:848-940), tracer advection, dens, and
+    the mode split — against an analytic number no transcription of the
+    Fortran can fake."""
+    im, jm, kb = 201, 7, 17
+    depth = 100.0
+    h1 = 50.0
+    dx0 = 1000.0
+    cfg = Config(im=im, jm=jm, kb=kb, mode=3, dte=8.0, isplit=30,
+                 dtype="float64", bc_scheme="orlanski", lramp=False,
+                 smoth=0.1, pallas_ext="off")
+    z, zz = sigma_levels(kb)
+    fsm = np.ones((im, jm))
+    fsm[:, 0] = fsm[:, -1] = 0.0     # channel walls
+    grid = make_grid(cfg, z, zz, np.full((im, jm), dx0),
+                     np.full((im, jm), dx0), np.full((im, jm), depth),
+                     fsm, cor=np.zeros((im, jm)))
+
+    # two layers (T 20 over T 10, S uniform) with the interface displaced
+    # downward by a Gaussian bump: a pure mode-1 internal wave initial
+    # condition (started at rest; it splits into +-x-going crests)
+    x = (np.arange(im) - (im - 1) / 2.0)[None, :, None] * dx0
+    zdep = zz[:, None, None] * depth           # (kb, 1, 1), negative down
+    amp, sigma_x, thick = 5.0, 8000.0, 10.0
+    eta = amp * np.exp(-(x ** 2) / sigma_x ** 2)        # (1, im, 1)
+    tb = np.broadcast_to(
+        15.0 + 5.0 * np.tanh((zdep + h1 + eta) / thick),
+        (kb, im, jm)).copy()
+    tb[-1] = tb[-2]
+    sb = np.full((kb, im, jm), 35.0)
+    # climatology = the UNDISTURBED stratification: rmean (initialize.f:416)
+    # is subtracted inside baropg (solver.f:854), so a tclim equal to tb
+    # (the Model default) would cancel the very pressure anomaly that
+    # drives the wave
+    tclim = np.broadcast_to(
+        15.0 + 5.0 * np.tanh((zdep + h1) / thick), (kb, im, jm)).copy()
+    tclim[-1] = tclim[-2]
+    m = Model(grid, cfg, tb=tb, sb=sb, tclim=tclim, sclim=sb,
+              donate=False)
+
+    # reduced gravity from the model's own (oracle-tested) EOS: dens
+    # returns (rho-1000)/rhoref, so g' = g (rho_bot - rho_top) rhoref/rho0
+    # ~ g * d(rho_model)
+    rho0 = np.asarray(m.state.rho)
+    drho = float(rho0[kb - 2, 5, jm // 2] - rho0[1, 5, jm // 2])
+    c_exact = np.sqrt(cfg.grav * drho * (h1 * (depth - h1) / depth))
+
+    def crest(st):
+        """Rightward interface-depression crest via the column heat
+        anomaly (interface deeper by d -> column-mean T up by d dT/H)."""
+        t = np.asarray(st.t)[: kb - 1, :, jm // 2]
+        col = (t * (z[:-1] - z[1:])[:, None]).sum(axis=0)
+        prof = col - col[5]
+        half = prof.copy()
+        half[: im // 2 + 3] = -1e9
+        i = int(np.argmax(half))
+        a, b, c = prof[i - 1], prof[i], prof[i + 1]
+        return i + 0.5 * (a - c) / (a - 2 * b + c)
+
+    n1, n2 = 40, 140
+    for _ in range(n1):
+        m.step_once()
+    x1 = crest(m.state)
+    for _ in range(n2 - n1):
+        m.step_once()
+    x2 = crest(m.state)
+    speed = (x2 - x1) * dx0 / ((n2 - n1) * cfg.dti)
+    assert abs(speed - c_exact) / c_exact < 0.10, (speed, c_exact)
+
+
+def test_kelvin_wave_speed_and_direction():
+    """Coastal Kelvin wave on an f-plane: a bump trapped against the
+    south wall with the Rossby-radius offshore decay must propagate in +x
+    (coast on its right, f > 0) at sqrt(gH) to ~5 % (the C-grid carries
+    an O((dx/R)^2) discrete-dispersion slowdown; dx/R = 0.16 here,
+    measured -3 %), while no comparable signal moves the other way —
+    Coriolis, boundary masking, and the external dynamics exercised
+    together against analytic numbers."""
+    im, jm, kb = 201, 33, 5
+    depth = 100.0
+    dx0 = 5000.0
+    f0 = 5.0e-4      # R = sqrt(gH)/f ~ 63 km = 12.5 cells: trapped well
+                     # inside the 165 km channel
+    cfg = Config(im=im, jm=jm, kb=kb, mode=2, dte=10.0, isplit=5,
+                 dtype="float64", bc_scheme="orlanski", lramp=False,
+                 pallas_ext="off")
+    z, zz = sigma_levels(kb)
+    fsm = np.ones((im, jm))
+    fsm[:, 0] = fsm[:, -1] = 0.0
+    grid = make_grid(cfg, z, zz, np.full((im, jm), dx0),
+                     np.full((im, jm), dx0), np.full((im, jm), depth),
+                     fsm, cor=np.full((im, jm), f0))
+    c_exact = np.sqrt(cfg.grav * depth)
+    R = c_exact / f0                              # Rossby radius (~31 km)
+    x = (np.arange(im) - (im - 1) / 2.0)[:, None] * dx0
+    y = (np.arange(jm) - 1.0)[None, :] * dx0      # offshore of the wall
+    elb = 0.05 * np.exp(-(x ** 2) / 20000.0 ** 2) * np.exp(-y / R)
+    # geostrophically balanced alongshore jet of the Kelvin solution:
+    # u = el sqrt(g/H)
+    uab = elb * np.sqrt(cfg.grav / depth)
+    tb = np.full((kb, im, jm), 10.0)
+    sb = np.full((kb, im, jm), 35.0)
+    m = Model(grid, cfg, tb=tb, sb=sb, elb=elb, uab=uab, donate=False)
+
+    def coast_profile(st):
+        return np.asarray(st.el)[:, 1]
+
+    def crest(prof):
+        i = int(np.argmax(prof))
+        a, b, c = prof[i - 1], prof[i], prof[i + 1]
+        return i + 0.5 * (a - c) / (a - 2 * b + c)
+
+    x0 = crest(coast_profile(m.state))
+    n = 40
+    for _ in range(n):
+        m.step_once()
+    x1 = crest(coast_profile(m.state))
+    speed = (x1 - x0) * dx0 / (n * cfg.dti)
+    assert speed > 0, "Kelvin wave must travel with the coast on its right"
+    assert abs(speed - c_exact) / c_exact < 0.05, (speed, c_exact)
+    # trapped: the crest amplitude holds up (no fast dispersion) and the
+    # offshore structure keeps ~the Rossby-radius decay
+    j_e = 1 + int(round(R / dx0))
+    row = np.asarray(m.state.el)[int(round(x1))]
+    assert row[j_e] / row[1] == pytest.approx(np.exp(-1.0), rel=0.25)
+
+
 def test_conservation_drift():
     """Volume and salt totals over 200 internal steps: relative drift
     bounds (the domain_stats oracle of advance.f:644-756, tightened from
