@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--kb", type=int, default=31)
     ap.add_argument("--out", default="/tmp/extpom_config4")
     ap.add_argument("--tridiag", default="auto")
+    ap.add_argument("--async-io", action="store_true",
+                    help="write snapshots/restarts on a background "
+                         "thread (io.asyncwriter): interval N+1 computes "
+                         "while interval N writes")
     args = ap.parse_args()
 
     from extpom_tpu.cases.seamount import seamount_model
@@ -58,6 +62,10 @@ def main():
     target = max(args.steps, warm + args.segment)
     t_compute = t_io = 0.0
     n_rst = n_out = 0
+    writer = None
+    if args.async_io:
+        from extpom_tpu.io.asyncwriter import AsyncWriter
+        writer = AsyncWriter()
     t_all = time.perf_counter()
     while m.iint < target:
         t0 = time.perf_counter()
@@ -67,12 +75,24 @@ def main():
         t0 = time.perf_counter()
         s = {k: float(v) for k, v in diag_stats.domain_stats(
             m.grid, m.cfg, m.state).items()}
-        zio.write_output(os.path.join(args.out, f"out.{m.iint:06d}"),
-                         m.grid, m.cfg, m.state, m.time_days, s)
-        n_out += 1
-        zio.write_restart(os.path.join(args.out, f"rst.{m.iint:06d}"),
+        if writer is not None:
+            writer.submit(zio.write_output,
+                          os.path.join(args.out, f"out.{m.iint:06d}"),
+                          m.grid, m.cfg, m.state, m.time_days, s)
+            writer.submit(zio.write_restart,
+                          os.path.join(args.out, f"rst.{m.iint:06d}"),
                           m.state, m.iint)
+        else:
+            zio.write_output(os.path.join(args.out, f"out.{m.iint:06d}"),
+                             m.grid, m.cfg, m.state, m.time_days, s)
+            zio.write_restart(os.path.join(args.out, f"rst.{m.iint:06d}"),
+                              m.state, m.iint)
+        n_out += 1
         n_rst += 1
+        t_io += time.perf_counter() - t0
+    if writer is not None:
+        t0 = time.perf_counter()
+        writer.close()            # only the LAST interval's write remains
         t_io += time.perf_counter() - t0
     wall = time.perf_counter() - t_all
 
@@ -90,6 +110,7 @@ def main():
     steps = m.iint - warm
     print(json.dumps({
         "config": f"seamount {im}x{jm}x{kb} f32 (BASELINE config 4)",
+        "async_io": bool(args.async_io),
         "steps_timed": steps,
         "grid_pt_steps_per_s": im * jm * kb * steps / t_compute,
         "s_per_step": t_compute / steps,

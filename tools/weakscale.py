@@ -48,7 +48,8 @@ def mesh_shape(p: int):
     return px, p // px
 
 
-def run_one(p: int, base: int, kb: int, steps: int, mode: str) -> float:
+def run_one(p: int, base: int, kb: int, steps: int, mode: str,
+            segments: bool = False) -> float:
     from extpom_tpu.cases.seamount import seamount_model
     from extpom_tpu.mesh.sharding import make_mesh
 
@@ -59,6 +60,18 @@ def run_one(p: int, base: int, kb: int, steps: int, mode: str) -> float:
                        dtype="float32")
     if p > 1:
         m.shard(make_mesh(px, py), mode=mode)
+    if segments:
+        # production path: the whole segment under one dispatch (for
+        # shardmap, the scan runs INSIDE the shard_map body —
+        # mesh.shardmap.make_shardmap_run)
+        m.run_segment(steps)
+        jax.block_until_ready(m.state.el)
+        m.run_segment(steps)
+        jax.block_until_ready(m.state.el)
+        t0 = time.perf_counter()
+        m.run_segment(steps)
+        jax.block_until_ready(m.state.el)
+        return im * jm * kb * steps / (time.perf_counter() - t0)
     # warm (compiles both step variants)
     m.step_once()
     m.step_once()
@@ -69,6 +82,46 @@ def run_one(p: int, base: int, kb: int, steps: int, mode: str) -> float:
     jax.block_until_ready(m.state.el)
     dt = time.perf_counter() - t0
     return im * jm * kb * steps / dt
+
+
+_COLLECTIVES = ("collective-permute", "all-reduce", "all-gather",
+                "reduce-scatter", "all-to-all")
+
+
+def collective_census(p: int, base: int, kb: int, mode: str):
+    """Count + byte-size the collectives in the COMPILED step for one
+    internal step: attributes the GSPMD-vs-shardmap gap to partitioner-
+    inserted halo traffic rather than CPU-emulation artifacts (the
+    round-3 verdict's open question).  Bytes = product of each
+    collective's result shape x dtype size (per device program)."""
+    import re
+    from extpom_tpu.cases.seamount import seamount_model
+    from extpom_tpu.mesh.sharding import make_mesh
+
+    px, py = mesh_shape(p)
+    im, jm = base * px, base * py
+    m = seamount_model(im=im, jm=jm, kb=kb, donate=False,
+                       pallas_ext="off", pallas_phases="off",
+                       dtype="float32")
+    m.shard(make_mesh(px, py), mode=mode)
+    fc = m._shard_fc(m.forcing_at(1))
+    txt = m._step.lower(m.grid, m.state, fc, m.rmean, m.tclim, m.sclim,
+                        first=False).compile().as_text()
+    counts = {k: 0 for k in _COLLECTIVES}
+    bytes_ = {k: 0 for k in _COLLECTIVES}
+    pat = re.compile(
+        r"=\s+(?:\(?)([a-z0-9]+)\[([0-9,]*)\][^=]*?\s("
+        + "|".join(_COLLECTIVES) + r")[-.(]")
+    dsize = {"f32": 4, "f64": 8, "bf16": 2, "s32": 4, "u32": 4, "pred": 1}
+    for mline in pat.finditer(txt):
+        dt_, shape, op = mline.groups()
+        n = 1
+        for d in shape.split(","):
+            if d:
+                n *= int(d)
+        counts[op] += 1
+        bytes_[op] += n * dsize.get(dt_, 4)
+    return counts, bytes_
 
 
 def run_one_serial(im, jm, kb, steps) -> float:
@@ -95,6 +148,12 @@ def main():
     ap.add_argument("--modes", default="gspmd,shardmap")
     ap.add_argument("--json", default=None)
     ap.add_argument("--backend", default="cpu")
+    ap.add_argument("--segments", action="store_true",
+                    help="time whole scanned segments (production path) "
+                         "instead of step-at-a-time")
+    ap.add_argument("--census", action="store_true",
+                    help="also print the per-step collective census "
+                         "(count + bytes) for each mode/device count")
     args = ap.parse_args()
 
     n_dev = len(jax.devices())
@@ -125,7 +184,8 @@ def main():
             if p > n_dev:
                 continue
             px, py = mesh_shape(p)
-            tp = run_one(p, args.base, args.kb, args.steps, mode)
+            tp = run_one(p, args.base, args.kb, args.steps, mode,
+                         segments=args.segments)
             per = tp / p
             if base_tp is None:
                 base_tp = per
@@ -140,8 +200,32 @@ def main():
                              throughput=tp, per_device=per,
                              efficiency=eff, eff_vs_serial=effs))
     print()
+    census_rows = []
+    if args.census:
+        print("| mode | devices | permute n/bytes | all-reduce n/bytes |"
+              " all-to-all n/bytes | total MB/step |")
+        print("|---|---|---|---|---|---|")
+        for mode in args.modes.split(","):
+            for p in [int(s) for s in args.devices.split(",")]:
+                if p > n_dev or p < 2:
+                    continue
+                counts, bytes_ = collective_census(p, args.base, args.kb,
+                                                   mode)
+                tot = sum(bytes_.values())
+                print(f"| {mode} | {p} | "
+                      f"{counts['collective-permute']}/"
+                      f"{bytes_['collective-permute']//1024} KiB | "
+                      f"{counts['all-reduce']}/"
+                      f"{bytes_['all-reduce']//1024} KiB | "
+                      f"{counts['all-to-all']}/"
+                      f"{bytes_['all-to-all']//1024} KiB | "
+                      f"{tot/2**20:.2f} |", flush=True)
+                census_rows.append(dict(mode=mode, devices=p,
+                                        counts=counts, bytes=bytes_))
+        print()
     out = dict(backend=jax.default_backend(), base=args.base, kb=args.kb,
-               rows=rows)
+               segments=bool(args.segments), rows=rows,
+               census=census_rows)
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:
