@@ -218,13 +218,17 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
                 g_ns, cfg, c, fc_e, aux_e, C, ic * C + 1, goff,
                 interpret=interpret)
         else:
-            with stencil.domain(win_ctx):
+            with stencil.domain(win_ctx), stencil.mask_caching():
                 em = stepper.ext_precompute(g_ns)
+                # peel the first substep to prime the mask cache (the
+                # same trick as the Pallas kernels)
+                c = stepper.mode_external_substep(
+                    g_ns, cfg, c, ic * C + 1, fc_e, aux_e, em=em)
 
                 def body(s, c):
                     return stepper.mode_external_substep(
                         g_ns, cfg, c, ic * C + 1 + s, fc_e, aux_e, em=em)
-                c = lax.fori_loop(0, C, body, c)
+                c = lax.fori_loop(1, C, body, c)
         return stepper.ExtCarry(*(trim(f) for f in c))
 
     return lax.fori_loop(0, n_chunks, chunk, c0)

@@ -232,6 +232,35 @@ def _axis_mask(n: int, r: Union[slice, int]) -> Tuple[int, int]:
     return lo, hi
 
 
+@contextlib.contextmanager
+def mask_caching():
+    """Memoize :func:`region_mask` by (shape, region) for the enclosed
+    trace.
+
+    The masks are pure functions of shapes, static region bounds, and the
+    ambient ctx offsets, so inside a kernel they are LOOP-INVARIANT — but
+    a mask built during ``lax.fori_loop`` body tracing is recomputed
+    every iteration.  The rolled external kernels PEEL their first
+    substep under this context so every mask becomes a pre-loop value
+    the body closure-captures; unrolled loops and single-trace phase
+    bodies simply deduplicate.  Scope it tightly: cached values may be
+    tracers of the enclosing trace and must not leak past it.  The
+    caller must keep the DomainCtx constant inside the context (the
+    cache does not key on it)."""
+    prev = getattr(_tls, "mask_cache", None)
+    _tls.mask_cache = {}
+    try:
+        yield
+    finally:
+        _tls.mask_cache = prev
+
+
+def _region_key(shape, region):
+    return (shape, tuple(
+        r if isinstance(r, int) else (r.start, r.stop, r.step)
+        for r in region))
+
+
 def region_mask(shape: Tuple[int, ...], region) -> jnp.ndarray:
     """Boolean mask (broadcastable to ``shape``) that is True on ``region``.
 
@@ -245,6 +274,19 @@ def region_mask(shape: Tuple[int, ...], region) -> jnp.ndarray:
     against the ACTIVE extents (pad cells never selected) and, in local
     mode, compare against global indices (local iota + block offset).
     """
+    cache = getattr(_tls, "mask_cache", None)
+    if cache is not None:
+        key = _region_key(shape, region)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        mask = _region_mask(shape, region)
+        cache[key] = mask
+        return mask
+    return _region_mask(shape, region)
+
+
+def _region_mask(shape: Tuple[int, ...], region) -> jnp.ndarray:
     ctx = _ctx()
     nd = len(shape)
     mask = None

@@ -153,21 +153,25 @@ def _chunk_kernel(cfg: Config, C: int, n_in: int, *refs):
     jm_act = cfg.jm_act or cfg.jm
     with stencil.domain(stencil.DomainCtx(
             im=im_act, jm=jm_act, windowed=True,
-            off_i=goff_i, off_j=goff_j)):
+            off_i=goff_i, off_j=goff_j)), stencil.mask_caching():
         em = stepper.ext_precompute(grid_ns)
-        # rolled loop (see _kernel): a C-way Python unroll makes the
-        # Mosaic program C x bigger and dominates compile time
+        # rolled loop with the first substep peeled to prime the mask
+        # cache (see _kernel); a C-way Python unroll makes the Mosaic
+        # program C x bigger and dominates compile time
         unroll = max(1, min(cfg.ext_unroll, C))
         if unroll >= C:
             for s in range(C):
                 c = stepper.mode_external_substep(
                     grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals, em=em)
         else:
+            c = stepper.mode_external_substep(
+                grid_ns, cfg, c, iext0, fc_ns, aux_vals, em=em)
+
             def body(s, c):
                 return stepper.mode_external_substep(
                     grid_ns, cfg, c, iext0 + s, fc_ns, aux_vals, em=em)
 
-            c = jax.lax.fori_loop(0, C, body, c, unroll=unroll)
+            c = jax.lax.fori_loop(1, C, body, c, unroll=unroll)
 
     for ref, val in zip(outs, c):
         ref[:] = val
@@ -248,24 +252,36 @@ def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):
     fc_ns = SimpleNamespace(**fc_vals)
     c = stepper.ExtCarry(*carry_vals)
 
-    # loop-invariant derived metrics live in VMEM across the whole loop
-    em = stepper.ext_precompute(grid_ns)
+    from extpom_tpu.ops import stencil
 
-    # rolled loop: keeps the Mosaic program ~isplit x smaller than a Python
-    # unroll, which dominates compile time at production grid sizes
-    # (ext_unroll > 1 trades compile time back for schedule freedom)
-    unroll = max(1, min(cfg.ext_unroll, cfg.isplit))
-    if unroll >= cfg.isplit:
-        for iext in range(1, cfg.isplit + 1):
+    # loop-invariant derived metrics + region masks live in VMEM across
+    # the whole loop: the first substep is PEELED under mask_caching so
+    # every put/set mask becomes a pre-loop value the rolled body
+    # closure-captures instead of rebuilding (iota + compares) every
+    # substep
+    with stencil.mask_caching():
+        em = stepper.ext_precompute(grid_ns)
+
+        # rolled loop: keeps the Mosaic program ~isplit x smaller than a
+        # Python unroll, which dominates compile time at production grid
+        # sizes (ext_unroll > 1 trades compile time back for schedule
+        # freedom)
+        unroll = max(1, min(cfg.ext_unroll, cfg.isplit))
+        if unroll >= cfg.isplit:
+            for iext in range(1, cfg.isplit + 1):
+                c = stepper.mode_external_substep(
+                    grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals,
+                    em=em)
+        else:
             c = stepper.mode_external_substep(
-                grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals, em=em)
-    else:
-        def body(i, c):
-            return stepper.mode_external_substep(
-                grid_ns, cfg, c, i, fc_ns, aux_vals, em=em)
+                grid_ns, cfg, c, jnp.int32(1), fc_ns, aux_vals, em=em)
 
-        c = jax.lax.fori_loop(1, cfg.isplit + 1, body, c,
-                              unroll=unroll)
+            def body(i, c):
+                return stepper.mode_external_substep(
+                    grid_ns, cfg, c, i, fc_ns, aux_vals, em=em)
+
+            c = jax.lax.fori_loop(2, cfg.isplit + 1, body, c,
+                                  unroll=unroll)
 
     for ref, val in zip(outs, c):
         ref[:] = val

@@ -179,7 +179,9 @@ def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
     jm_act = cfg.jm_act or jm
     with stencil.domain(stencil.DomainCtx(
             im=im_act, jm=jm_act, windowed=True, off_i=start,
-            edge_slice=(im_act == im))):
+            edge_slice=(im_act == im))), stencil.mask_caching():
+        # the C substeps are Python-unrolled: mask_caching dedupes the
+        # put/set region masks across them (one iota+compare set total)
         em = stepper.ext_precompute(grid_ns)
         for s in range(C):
             c = stepper.mode_external_substep(

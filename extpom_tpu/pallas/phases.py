@@ -299,7 +299,8 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
             ctx = stencil.DomainCtx(
                 im=im_act, jm=jm_act, windowed=True,
                 off_i=goff[0] + start, off_j=goff[1])
-        with stencil.domain(ctx):
+        with stencil.domain(ctx), stencil.mask_caching():
+            # dedupe repeated put/set region masks within the phase body
             return body(vals, start)
 
     n_win, n_rep, n_out = len(win_in), len(rep_in), len(out_templates)
