@@ -171,11 +171,15 @@ def mode_external_substep(grid: Grid, cfg: Config, c: ExtCarry, iext,
     if cfg.ispadv == 1:
         advua, advva, wubot, wvbot = do_advave(c)
     else:
-        advua, advva, wubot, wvbot = lax.cond(
-            iext % cfg.ispadv == 0,
-            lambda c: do_advave(c),
-            lambda c: (c.advua, c.advva, c.wubot, c.wvbot),
-            c)
+        from extpom_tpu.ops.stencil import mask_cache_pause
+        with mask_cache_pause():
+            # masks built while tracing a cond BRANCH must not enter the
+            # loop-invariant cache (they belong to the branch jaxpr)
+            advua, advva, wubot, wvbot = lax.cond(
+                iext % cfg.ispadv == 0,
+                lambda c: do_advave(c),
+                lambda c: (c.advua, c.advva, c.wubot, c.wvbot),
+                c)
 
     # depth-mean momentum (advance.f:237-288)
     alpha = cfg.alpha
@@ -440,6 +444,14 @@ def step(grid: Grid, cfg: Config, st: State, fc: Forcing,
     run, but passed as arrays so one compilation serves any case).
     """
     from extpom_tpu.ops import stencil
+    ctx = stencil.domain_ctx()
+    if ctx is not None and ctx.block:
+        # already tracing under a shard_map local (or windowed) ctx —
+        # e.g. run_steps inside mesh.shardmap.make_shardmap_run; the
+        # padded-extent ctx that domain_of would install must NOT
+        # replace it (a global-shift trace on local blocks would be
+        # silently wrong on ragged grids)
+        return _step(grid, cfg, st, fc, rmean, tclim, sclim, first)
     with stencil.domain_of(cfg):
         return _step(grid, cfg, st, fc, rmean, tclim, sclim, first)
 

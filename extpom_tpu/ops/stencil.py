@@ -255,6 +255,25 @@ def mask_caching():
         _tls.mask_cache = prev
 
 
+@contextlib.contextmanager
+def mask_cache_pause():
+    """Freeze an active mask cache (read-only) for the enclosed region.
+
+    Required around ``lax.cond``/``lax.switch`` BRANCHES inside a cached
+    trace: a mask created while tracing one branch is a value of that
+    branch's (closed) jaxpr, and serving it from the cache to a later
+    sibling trace leaks it across scopes (surfacing as a Pallas
+    "kernel captures constants" error).  Masks cached OUTSIDE the
+    branches are ordinary closed-over values and keep being served;
+    branch-local misses compute fresh and are NOT stored."""
+    prev = getattr(_tls, "mask_cache_frozen", False)
+    _tls.mask_cache_frozen = True
+    try:
+        yield
+    finally:
+        _tls.mask_cache_frozen = prev
+
+
 def _region_key(shape, region):
     return (shape, tuple(
         r if isinstance(r, int) else (r.start, r.stop, r.step)
@@ -281,7 +300,8 @@ def region_mask(shape: Tuple[int, ...], region) -> jnp.ndarray:
         if hit is not None:
             return hit
         mask = _region_mask(shape, region)
-        cache[key] = mask
+        if not getattr(_tls, "mask_cache_frozen", False):
+            cache[key] = mask
         return mask
     return _region_mask(shape, region)
 

@@ -101,6 +101,27 @@ def test_shardmap_segment_scan_seamount():
     _compare(ref.state, m.state)
 
 
+def test_shardmap_segment_scan_ragged_padded():
+    """A padded ragged grid through the shard_map SEGMENT driver: the
+    run_steps scan inside the shard_map body must keep the LOCAL ctx
+    (step() once re-installed the padded global ctx over it, silently
+    tracing global shifts on local blocks)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from extpom_tpu.mesh.sharding import make_mesh
+    kw = dict(im=33, jm=65, kb=7, isplit=6, dtype="float64", donate=False)
+    ref = seamount_model(**kw)
+    ref.run_segment(3)
+    m = seamount_model(**kw)
+    m.shard(make_mesh(2, 4), mode="shardmap")   # pads to 34x68
+    m.run_segment(3)
+    for name in CHECK:
+        a = np.asarray(getattr(ref.state, name))
+        b = np.asarray(unpad(getattr(m.state, name), m.cfg))
+        tol = 1e-10 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
+
+
 def test_shardmap_segment_scan_channel_deviceplan():
     """Provider-backed forcing through a SHARDED DevicePlan, interpolated
     on device inside the shard_map scan (time-varying lateral BCs under
