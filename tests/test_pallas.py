@@ -11,10 +11,10 @@ from extpom_tpu.cases.seamount import seamount_model
 from extpom_tpu.core import stepper
 
 
-def _run(pallas_ext: str, n: int = 2):
+def _run(pallas_ext: str, n: int = 2, **kw):
     # small isplit: the interpreted kernel unrolls all substeps
     m = seamount_model(im=32, jm=48, kb=7, donate=False, dtype="float64",
-                       isplit=6, pallas_ext=pallas_ext)
+                       isplit=6, pallas_ext=pallas_ext, **kw)
     fc = m.forcing_at(1)
 
     @jax.jit
@@ -34,6 +34,18 @@ def test_extloop_matches_xla():
     got = _run("on")    # interpreted off-TPU
     for name in ("el", "elb", "ua", "uab", "va", "vab", "etf",
                  "utb", "vtb", "egb", "u", "v", "t", "s"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12, err_msg=name)
+
+
+def test_extloop_ispadv2_matches_xla():
+    """ispadv=2 routes advave through lax.cond inside the rolled kernel
+    loop — the branch-scope path the mask cache must NOT serve across
+    (stencil.mask_cache_pause; regression for the round-4 leak)."""
+    ref = _run("off", ispadv=2)
+    got = _run("on", ispadv=2)
+    for name in ("el", "ua", "va", "u", "t"):
         a = np.asarray(getattr(ref, name))
         b = np.asarray(getattr(got, name))
         np.testing.assert_allclose(b, a, rtol=0, atol=1e-12, err_msg=name)
