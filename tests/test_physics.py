@@ -305,6 +305,30 @@ def test_kelvin_wave_speed_and_direction():
     assert row[j_e] / row[1] == pytest.approx(np.exp(-1.0), rel=0.25)
 
 
+def test_wind_driven_gyre_western_intensification():
+    """Stommel/Munk gyre on a beta plane (cases/basin.py): a closed basin
+    under a single-gyre wind (curl tau < 0 everywhere) must develop a
+    southward Sverdrup interior with its return flow intensified against
+    the WESTERN boundary — the beta effect, exercising wind forcing,
+    Coriolis variation, continuity, and the closed-wall masks together.
+    At 20 days' spin-up the measured west/east |v| ratio is ~12; the
+    gate is conservative."""
+    from extpom_tpu.cases.basin import basin_model
+
+    m = basin_model(im=41, jm=41, kb=5, dtype="float64")
+    steps = int(12.0 * 86400 / m.cfg.dti)    # 12 days' spin-up
+    m.run_segment(steps)
+    va = np.asarray(m.state.va)
+    im, jm = va.shape
+    third = im // 3
+    w = np.abs(va[1:third, 1:-1]).max()
+    e = np.abs(va[-third:-1, 1:-1]).max()
+    assert w > 3.0 * e, (w, e)               # western intensification
+    assert va[third:-third, jm // 3:2 * jm // 3].mean() < 0.0  # Sverdrup
+    assert va[2:6, jm // 3:2 * jm // 3].mean() > 0.0   # northward WBC
+    assert np.isfinite(np.asarray(m.state.el)).all()
+
+
 def test_conservation_drift():
     """Volume and salt totals over 200 internal steps: relative drift
     bounds (the domain_stats oracle of advance.f:644-756, tightened from
