@@ -138,6 +138,11 @@ class Config:
                                # scratch; effective_block trims its VMEM
                                # budget accordingly).  Measured: 732 vs
                                # 626 Mpt-steps/s at 256^2x31.
+    phase_out_double: bool = True      # 2-slot OUTPUT windows: the stripe
+                               # write-back drains while the next stripe
+                               # computes (r4: 790 vs 742 Mpt-steps/s at
+                               # 256^2x31).  Off trades the overlap for
+                               # VMEM (a larger Bi on wide grids).
     # Halo-window Pallas external loop (pallas/extwin.py): for grids
     # beyond the whole-grid VMEM kernel, runs extwin_chunk substeps per
     # manual-DMA window pass over i-stripes — isplit/C full-grid HBM

@@ -222,7 +222,7 @@ def run_external_chunk_vmem(grid_ns, cfg: Config, c0, fc_ns, aux, C: int,
         input_output_aliases={i: i for i in range(len(CARRY_FIELDS))},
         interpret=interpret,
         compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
+            pltpu.CompilerParams(vmem_limit_bytes=112 * 2 ** 20)
             if (_HAVE_PLTPU and not interpret) else None),
     )(*inputs)
     return stepper.ExtCarry(*outs)
@@ -327,7 +327,7 @@ def run_external_loop(grid: Grid, cfg: Config, c0, fc, aux,
         input_output_aliases={i: i for i in range(len(CARRY_FIELDS))},
         interpret=interpret,
         compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
+            pltpu.CompilerParams(vmem_limit_bytes=112 * 2 ** 20)
             if (_HAVE_PLTPU and not interpret) else None),
     )(*inputs)
 

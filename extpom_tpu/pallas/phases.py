@@ -75,22 +75,48 @@ def use_pallas_phases(cfg: Config) -> bool:
             and cfg.jm_act in (None, cfg.jm))
 
 
-def effective_block(cfg: Config, lanes: int = 0) -> int:
-    """Interior rows per kernel instance, scaled so the VMEM working set
-    stays roughly at the tuned (jm=256, kb=31, Bi=64) level: window bytes
-    scale with (Bi + 2H) * jm * kb, and Bi=64 is the measured optimum at
-    the bench size (576 Mpt-steps/s; 80+ OOMs Mosaic).  Double-buffered
-    input windows double the scratch, so the budget halves.  ``lanes``
-    overrides the window lane extent (the halo-extended local nj of the
-    shard_map variant); 0 means the global cfg.jm."""
+# worst-phase 3-D window counts (tke: 15 operands + advected TKE
+# intermediates in + 8 out) — the VMEM model below sizes for it
+_N3_IN = 17
+_N3_OUT = 8
+# scratch budget for the 3-D windows (under the 110 MiB kernel limit,
+# leaving temporaries headroom).  Anchored on-chip (v5e, tools/
+# phasetune.py): 256^2x31 Bi=32 2-slot-out FITS / Bi=40 OOMs;
+# 512^2x31 Bi=16 1-slot-out FITS (757 Mpt-steps/s) / 2-slot OOMs.
+_SCRATCH_BUDGET = 83 * 2 ** 20
+
+
+def phase_geometry(cfg: Config, lanes: int = 0):
+    """(Bi, out_double): interior stripe rows per kernel instance and
+    whether the OUTPUT windows double-buffer, chosen so the worst phase's
+    VMEM scratch fits the anchored budget.
+
+    Output double-buffering hides the write-back DMA but doubles the out
+    scratch; when it would force Bi below 24 rows the halved read
+    amplification of a bigger stripe wins instead (512^2x31: Bi=16
+    single-slot-out 757 vs Bi=8 2-slot-out 668 Mpt-steps/s).  Returns
+    Bi < 8 when no geometry fits (callers must not dispatch — 1024^2x31
+    exceeds the budget at any stripe and runs the XLA phases).
+    ``lanes`` overrides the window lane extent (the halo-extended local
+    nj of the shard_map variant); 0 means the global cfg.jm."""
     H = cfg.phase_halo
-    w_ref = (64 + 2 * H) * 256 * 31
-    if cfg.phase_double_buffer:
-        # only the input windows double (outputs/temps do not): ~2/3
-        w_ref = w_ref * 2 // 3
-    w_max = w_ref // max((lanes or cfg.jm) * cfg.kb, 1)
-    bi = min(cfg.phase_block, (w_max - 2 * H) // 8 * 8)
-    return max(bi, 8)
+    row = max((lanes or cfg.jm) * cfg.kb * 4, 1)
+    in_slots = 2 if cfg.phase_double_buffer else 1
+    choices = (True, False) if cfg.phase_out_double else (False,)
+    bi = 0
+    for out2 in choices:
+        mult = _N3_IN * in_slots + _N3_OUT * (2 if out2 else 1)
+        w_max = _SCRATCH_BUDGET // (mult * row)
+        bi = min(cfg.phase_block, (w_max - 2 * H) // 8 * 8)
+        if out2 and bi < 24:
+            continue
+        return bi, out2
+    return bi, False
+
+
+def effective_block(cfg: Config, lanes: int = 0) -> int:
+    """Interior rows per kernel instance (see :func:`phase_geometry`)."""
+    return phase_geometry(cfg, lanes)[0]
 
 
 def _geometry_ok(cfg: Config) -> bool:
@@ -102,7 +128,7 @@ def _geometry_ok(cfg: Config) -> bool:
         # jm=48) — fall back to the XLA phase path on unaligned grids.
         # Interpret mode (CPU tests) is exempt.
         return False
-    return (cfg.im % 8 == 0 and bi % 8 == 0 and h % 8 == 0
+    return (cfg.im % 8 == 0 and bi >= 8 and bi % 8 == 0 and h % 8 == 0
             and cfg.im >= bi + 2 * h and cfg.kb != cfg.im)
 
 
@@ -137,7 +163,8 @@ def _window_geom(i, im: int, Bi: int, H: int):
 
 
 def _kernel(im: int, Bi: int, H: int, n_win: int, n_rep: int, n_out: int,
-            double: bool, has_off: bool, body: Callable, *refs):
+            double: bool, double_out: bool, has_off: bool,
+            body: Callable, *refs):
     W = Bi + 2 * H
     win_refs = refs[:n_win]
     rep_refs = refs[n_win:n_win + n_rep]
@@ -195,42 +222,43 @@ def _kernel(im: int, Bi: int, H: int, n_win: int, n_rep: int, n_out: int,
     goff = (off_ref[0, 0], off_ref[0, 1]) if has_off else None
     out_vals = body(win_vals, rep_vals, start, goff)
 
-    def out_copy(k, slot):
+    def out_copy(k, oslot):
         s, r = out_scr[k], out_refs[k]
         pre = (slice(None),) * (len(r.shape) - 2)
-        src = (s.at[slot] if double else s).at[
+        src = (s.at[oslot] if double_out else s).at[
             pre + (pl.ds(off, Bi), slice(None))]
         return pltpu.make_async_copy(
             src, r.at[pre + (pl.ds(j0, Bi), slice(None))],
-            sem_out.at[slot, k] if double else sem_out.at[k])
+            sem_out.at[oslot, k] if double_out else sem_out.at[k])
 
-    if double:
+    if double_out:
         # two-slot OUTPUT pipeline: this window's interior write-back
         # drains while the next window computes (the tail wait was
         # serializing ~out_bytes/BW of idle VPU time per window).  The
         # slot is reusable once the copy issued two iterations ago (same
         # slot) completes; the final window drains both slots.
         nblk = pl.num_programs(0)
+        oslot = lax.rem(i, jnp.int32(2))
 
         @pl.when(i >= 2)
         def _():
             for k in range(n_out):
-                out_copy(k, slot).wait()
+                out_copy(k, oslot).wait()
 
         for k, val in enumerate(out_vals):
-            out_scr[k][slot] = val
+            out_scr[k][oslot] = val
         for k in range(n_out):
-            out_copy(k, slot).start()
+            out_copy(k, oslot).start()
 
         @pl.when((i == nblk - 1) & (i >= 1))
         def _():
             for k in range(n_out):
-                out_copy(k, 1 - slot).wait()
+                out_copy(k, 1 - oslot).wait()
 
         @pl.when(i == nblk - 1)
         def _():
             for k in range(n_out):
-                out_copy(k, slot).wait()
+                out_copy(k, oslot).wait()
     else:
         copies = []
         for k, val in enumerate(out_vals):
@@ -268,7 +296,8 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
 
     im = rows or cfg.im
     jm = lanes or cfg.jm
-    Bi, H = effective_block(cfg, lanes=jm), cfg.phase_halo
+    Bi, double_out = phase_geometry(cfg, lanes=jm)
+    H = cfg.phase_halo
     W = Bi + 2 * H
     im_act = cfg.im_act or cfg.im
     jm_act = cfg.jm_act or cfg.jm
@@ -311,12 +340,13 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
     out_shape = tuple(jax.ShapeDtypeStruct(t.shape, t.dtype)
                       for t in out_templates)
     slots = (2,) if double else ()
+    oslots = (2,) if double_out else ()
     scratch = ([pltpu.VMEM(slots + _win_shape(a.shape, W), a.dtype)
                 for a in win_in]
-               + [pltpu.VMEM(slots + _win_shape(t.shape, W), t.dtype)
+               + [pltpu.VMEM(oslots + _win_shape(t.shape, W), t.dtype)
                   for t in out_templates]
                + [pltpu.SemaphoreType.DMA(slots + (max(n_win, 1),)),
-                  pltpu.SemaphoreType.DMA(slots + (max(n_out, 1),))])
+                  pltpu.SemaphoreType.DMA(oslots + (max(n_out, 1),))])
 
     has_off = off is not None
     extra_in = []
@@ -327,7 +357,7 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
 
     grid = (-(-im // Bi),)
     kern = functools.partial(_kernel, im, Bi, H, n_win, n_rep, n_out,
-                             double, has_off, kernel_body)
+                             double, double_out, has_off, kernel_body)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -626,7 +656,7 @@ def use_pallas_phases_mesh(cfg: Config, ctx, local_shape) -> bool:
     bi, h = effective_block(cfg, lanes=lanes), cfg.phase_halo
     if jax.default_backend() == "tpu" and lanes % 128 != 0:
         return False
-    return (rows % 8 == 0 and bi % 8 == 0 and h % 8 == 0
+    return (rows % 8 == 0 and bi >= 8 and bi % 8 == 0 and h % 8 == 0
             and rows >= bi + 2 * h and cfg.kb != rows)
 
 

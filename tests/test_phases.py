@@ -84,6 +84,51 @@ def test_phases_match_xla_channel():
     _assert_state_close(got, ref)
 
 
+def test_phases_double_out_windows():
+    """Bi >= 24 keeps the 2-slot OUTPUT pipeline (the production 256^2
+    configuration) — covered here in interpret mode with a stripe large
+    enough for phase_geometry to choose it."""
+    from extpom_tpu.pallas.phases import phase_geometry
+
+    def run(phases):
+        m = seamount_model(im=48, jm=48, kb=7, donate=False,
+                           dtype="float64", isplit=6, pallas_ext="off",
+                           pallas_phases=phases, phase_block=24,
+                           phase_halo=8)
+        if phases == "on":
+            assert phase_geometry(m.cfg) == (24, True)
+        fc = m.forcing_at(1)
+
+        @jax.jit
+        def go(st):
+            st = stepper.step(m.grid, m.cfg, st, fc, m.rmean, m.tclim,
+                              m.sclim, first=True)
+            st = stepper.step(m.grid, m.cfg, st, fc, m.rmean, m.tclim,
+                              m.sclim, first=False)
+            return st
+
+        return go(m.state)
+
+    _assert_state_close(run("on"), run("off"))
+
+
+def test_phase_geometry_model():
+    """phase_geometry's on-chip anchors (v5e measurements,
+    tools/phasetune.py): 256^2 keeps Bi=32 with 2-slot outputs; 512^2
+    trades the output pipeline for Bi=16 (757 vs 668 Mpt-steps/s);
+    1024^2+ exceeds the scratch budget at any stripe and must NOT
+    dispatch (pre-round-4 auto would OOM Mosaic there)."""
+    from extpom_tpu.core.config import Config
+    from extpom_tpu.pallas.phases import (phase_geometry,
+                                          use_pallas_phases)
+    assert phase_geometry(Config(im=256, jm=256, kb=31)) == (32, True)
+    assert phase_geometry(Config(im=512, jm=512, kb=31)) == (16, False)
+    bi, _ = phase_geometry(Config(im=1024, jm=1024, kb=31))
+    assert bi < 8
+    assert not use_pallas_phases(Config(im=1024, jm=1024, kb=31,
+                                        pallas_phases="on"))
+
+
 def test_phase_geometry_gate():
     from extpom_tpu.pallas.phases import use_pallas_phases
     from extpom_tpu.core.config import Config

@@ -21,14 +21,15 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure(size, kb, bi, n=50):
+def measure(size, kb, bi, n=50, out_double=True):
     from extpom_tpu.pallas import phases
     from extpom_tpu.cases.seamount import seamount_model
 
-    orig = phases.effective_block
-    phases.effective_block = lambda cfg, lanes=0: bi
+    orig = phases.phase_geometry
+    phases.phase_geometry = lambda cfg, lanes=0: (bi, out_double)
     try:
-        m = seamount_model(im=size, jm=size, kb=kb, donate=False)
+        m = seamount_model(im=size, jm=size, kb=kb, donate=False,
+                           phase_out_double=out_double)
         m.run_segment(n)
         jax.block_until_ready(m.state.el)
         m.run_segment(n)
@@ -39,7 +40,7 @@ def measure(size, kb, bi, n=50):
         dt = (time.perf_counter() - t0) / n
         return size * size * kb / dt, dt
     finally:
-        phases.effective_block = orig
+        phases.phase_geometry = orig
 
 
 def main():
@@ -48,15 +49,20 @@ def main():
     ap.add_argument("--kb", type=int, default=31)
     ap.add_argument("--bi", default="24,32,40,48,64")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--no-out-double", action="store_true",
+                    help="single-slot output windows (trades write-back "
+                         "overlap for VMEM -> larger Bi on wide grids)")
     args = ap.parse_args()
 
+    od = not args.no_out_double
     for bi in (int(x) for x in args.bi.split(",")):
         try:
-            gps, dt = measure(args.size, args.kb, bi, args.steps)
-            print(f"Bi={bi:4d}: {gps/1e6:8.1f} Mpt-steps/s "
+            gps, dt = measure(args.size, args.kb, bi, args.steps,
+                              out_double=od)
+            print(f"Bi={bi:4d} out2={od}: {gps/1e6:8.1f} Mpt-steps/s "
                   f"({dt*1e3:.2f} ms/step)", flush=True)
         except Exception as e:                              # noqa: BLE001
-            print(f"Bi={bi:4d}: failed ({type(e).__name__}): "
+            print(f"Bi={bi:4d} out2={od}: failed ({type(e).__name__}): "
                   f"{str(e)[:200]}", flush=True)
 
 
