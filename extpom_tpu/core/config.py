@@ -127,9 +127,11 @@ class Config:
     # for tests); "off" keeps the plain XLA phase path.
     pallas_phases: str = "auto"
     phase_block: int = 64      # max i-stripe interior rows per kernel
-                               # instance (scaled down for wide/deep grids
-                               # by pallas.phases.effective_block; 64 is
-                               # the measured optimum at 256x256x31)
+                               # instance; pallas.phases.phase_geometry
+                               # walks it down (and decides output
+                               # double-buffering) against an on-chip-
+                               # anchored VMEM scratch model (r4: Bi=32
+                               # at 256^2x31, Bi=16 at 512^2x31)
     phase_halo: int = 8        # halo rows per side (>= total chained
                                # stencil radius of any one phase; multiple
                                # of 8 for sublane-aligned DMA starts)
