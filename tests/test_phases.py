@@ -84,17 +84,20 @@ def test_phases_match_xla_channel():
     _assert_state_close(got, ref)
 
 
-def test_phases_double_out_windows():
+@pytest.mark.parametrize("in2", [True, False])
+def test_phases_double_out_windows(in2):
     """Bi >= 24 keeps the 2-slot OUTPUT pipeline (the production 256^2
     configuration) — covered here in interpret mode with a stripe large
-    enough for phase_geometry to choose it."""
+    enough for phase_geometry to choose it, with and without the input
+    prefetch slots (the in-single/out-double combination is otherwise
+    never traced)."""
     from extpom_tpu.pallas.phases import phase_geometry
 
     def run(phases):
         m = seamount_model(im=48, jm=48, kb=7, donate=False,
                            dtype="float64", isplit=6, pallas_ext="off",
                            pallas_phases=phases, phase_block=24,
-                           phase_halo=8)
+                           phase_halo=8, phase_double_buffer=in2)
         if phases == "on":
             assert phase_geometry(m.cfg) == (24, True)
         fc = m.forcing_at(1)
