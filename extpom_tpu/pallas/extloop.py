@@ -104,6 +104,20 @@ def fits_vmem(cfg: Config, budget_bytes: int | None = None) -> bool:
     return cfg.dtype == "float32" and n_blocks * per <= budget_bytes
 
 
+def _lean_kernel(cfg: Config) -> bool:
+    """Skip the mask cache + peeled first substep inside the whole-grid
+    kernel when they don't fit NEXT TO the live set.
+
+    mode 2 runs advave's bottom-stress + curvature branches every substep
+    — with the cached masks and the peeled body its 512^2 scoped-vmem
+    peak exceeds any limit (125 MiB live at a 120 MiB cap, measured r4);
+    with just the hoisted metrics (kept either way) it fits AND runs
+    faster than round 3 (2.31 vs 2.40 ms/step, 80 % of roofline).
+    mode 3's external loop is leaner and keeps everything at every size
+    that passes fits_vmem."""
+    return cfg.mode == 2 and not fits_vmem(cfg, 30 * 2 ** 20)
+
+
 def use_pallas_ext(cfg: Config) -> bool:
     """Static dispatch decision, resolved at trace time."""
     from extpom_tpu.ops import stencil
@@ -253,13 +267,16 @@ def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):
     c = stepper.ExtCarry(*carry_vals)
 
     from extpom_tpu.ops import stencil
+    import contextlib
 
     # loop-invariant derived metrics + region masks live in VMEM across
     # the whole loop: the first substep is PEELED under mask_caching so
     # every put/set mask becomes a pre-loop value the rolled body
     # closure-captures instead of rebuilding (iota + compares) every
-    # substep
-    with stencil.mask_caching():
+    # substep.  _lean_kernel configs skip both (no VMEM room next to the
+    # mode-2 live set at 512^2).
+    lean = _lean_kernel(cfg)
+    with (contextlib.nullcontext() if lean else stencil.mask_caching()):
         em = stepper.ext_precompute(grid_ns)
 
         # rolled loop: keeps the Mosaic program ~isplit x smaller than a
@@ -273,14 +290,21 @@ def _kernel(cfg: Config, interpret: bool, n_in: int, *refs):
                     grid_ns, cfg, c, jnp.int32(iext), fc_ns, aux_vals,
                     em=em)
         else:
-            c = stepper.mode_external_substep(
-                grid_ns, cfg, c, jnp.int32(1), fc_ns, aux_vals, em=em)
+            start = 1
+            if not lean:
+                # peel the first substep to prime the mask cache; the
+                # lean variant keeps the r3 shape (peel + loop body
+                # coexisting raises the scoped-vmem peak)
+                c = stepper.mode_external_substep(
+                    grid_ns, cfg, c, jnp.int32(1), fc_ns, aux_vals,
+                    em=em)
+                start = 2
 
             def body(i, c):
                 return stepper.mode_external_substep(
                     grid_ns, cfg, c, i, fc_ns, aux_vals, em=em)
 
-            c = jax.lax.fori_loop(2, cfg.isplit + 1, body, c,
+            c = jax.lax.fori_loop(start, cfg.isplit + 1, body, c,
                                   unroll=unroll)
 
     for ref, val in zip(outs, c):

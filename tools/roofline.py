@@ -164,7 +164,7 @@ def main():
                 if var == "pallas":
                     from extpom_tpu.pallas.extloop import fits_vmem
                     from extpom_tpu.core.config import Config
-                    if not fits_vmem(Config(im=im, jm=jm, kb=3)):
+                    if not fits_vmem(Config(im=im, jm=jm, kb=3, mode=2)):
                         print(f"| {im}x{jm} | {var} | n/a (exceeds VMEM "
                               "budget) | | | | | |", flush=True)
                         continue
