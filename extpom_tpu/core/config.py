@@ -127,19 +127,20 @@ class Config:
     # for tests); "off" keeps the plain XLA phase path.
     pallas_phases: str = "auto"
     phase_block: int = 64      # max i-stripe interior rows per kernel
-                               # instance; pallas.phases.phase_geometry
-                               # walks it down (and decides output
-                               # double-buffering) against an on-chip-
-                               # anchored VMEM scratch model (r4: Bi=32
-                               # at 256^2x31, Bi=16 at 512^2x31)
+                               # instance; pallas.phases.phase_plan walks
+                               # it down PER PHASE (and decides the
+                               # input/output double-buffering) against
+                               # an on-chip-anchored VMEM scratch model
+                               # sized for each phase's exact operand set
     phase_halo: int = 8        # halo rows per side (>= total chained
                                # stencil radius of any one phase; multiple
                                # of 8 for sublane-aligned DMA starts)
-    phase_double_buffer: bool = True   # prefetch the next stripe's input
-                               # windows while computing (2-slot input
-                               # scratch; effective_block trims its VMEM
-                               # budget accordingly).  Measured: 732 vs
-                               # 626 Mpt-steps/s at 256^2x31.
+    phase_double_buffer: bool = True   # allow 2-slot input windows
+                               # (prefetch the next stripe while
+                               # computing; phase_plan trades the slots
+                               # against stripe size per phase).
+                               # Measured: 732 vs 626 Mpt-steps/s at
+                               # 256^2x31.
     phase_out_double: bool = True      # 2-slot OUTPUT windows: the stripe
                                # write-back drains while the next stripe
                                # computes (r4: 790 vs 742 Mpt-steps/s at

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from extpom_tpu.core.config import Config
+from extpom_tpu.core import hw
 from extpom_tpu.ops import stencil
 
 
@@ -132,7 +133,6 @@ def _use_pallas_chunk(cfg: Config, R: int, L: int) -> bool:
     HBM once instead of once per substep.  "on" forces (interpret
     off-TPU: tests); "auto" requires TPU f32 and the extended local
     working set within the device VMEM budget."""
-    import jax as _jax
     from extpom_tpu.pallas import extloop
     if cfg.pallas_ext == "off" or not extloop._HAVE_PLTPU:
         return False
@@ -140,8 +140,33 @@ def _use_pallas_chunk(cfg: Config, R: int, L: int) -> bool:
         return True
     n_blocks = (len(extloop.CARRY_FIELDS) + len(extloop.GRID_FIELDS)
                 + len(extloop.AUX_FIELDS) + len(extloop.FC_2D_FIELDS))
-    return (_jax.default_backend() == "tpu" and cfg.dtype == "float32"
+    return (hw.backend() == "tpu" and cfg.dtype == "float32"
             and n_blocks * R * L * 4 <= extloop.device_vmem_budget())
+
+
+def chunk_plan(cfg: Config, ctx, ni: int, nj: int):
+    """Static decisions of the chunked external loop for a (ni, nj)
+    local block: (C substeps per ring exchange, Hx/Hy ring widths, R/L
+    extended extents, whether the chunk body runs as the VMEM-resident
+    Pallas kernel).  Shared by the runner below and the dispatch report
+    (core.dispatch) so the echo can never drift from the execution."""
+    C = _chunk(cfg, ctx, (ni, nj))
+    H = C * cfg.ext_halo_sub
+    # y-ring width: on a real TPU the Pallas chunk kernel wants the lane
+    # extent of the extended block 128-aligned, so the y ring rounds up to
+    # a multiple of 64 (the extra rows carry further-valid neighbor data)
+    Hy_ring = H
+    if (hw.backend() == "tpu" and ctx.py > 1
+            and cfg.pallas_ext != "off"):
+        Hy_ring = -(-H // 64) * 64
+        if Hy_ring > nj:               # ring wider than the neighbor block
+            Hy_ring = H
+    Hx = H if ctx.px > 1 else 0
+    Hy = Hy_ring if ctx.py > 1 else 0
+    R, L = ni + 2 * Hx, nj + 2 * Hy
+    use_pal = _use_pallas_chunk(cfg, R, L) and (
+        hw.backend() != "tpu" or ctx.py == 1 or Hy % 64 == 0)
+    return C, Hx, Hy, R, L, use_pal
 
 
 def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
@@ -159,27 +184,12 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
     from extpom_tpu.mesh.padding import _GRID_PAD_ONE
     import jax as _jax
 
-    C = _chunk(cfg, ctx, c0.el.shape)
-    H = C * cfg.ext_halo_sub
-    n_chunks = cfg.isplit // C
-
     ni = c0.el.shape[-2]
     nj = c0.el.shape[-1]
-
-    # y-ring width: on a real TPU the Pallas chunk kernel wants the lane
-    # extent of the extended block 128-aligned, so the y ring rounds up to
-    # a multiple of 64 (the extra rows carry further-valid neighbor data)
-    Hy_ring = H
-    if (_jax.default_backend() == "tpu" and ctx.py > 1
-            and cfg.pallas_ext != "off"):
-        Hy_ring = -(-H // 64) * 64
-        if Hy_ring > nj:               # ring wider than the neighbor block
-            Hy_ring = H
-    Hx = H if ctx.px > 1 else 0
-    Hy = Hy_ring if ctx.py > 1 else 0
-    R, L = ni + 2 * Hx, nj + 2 * Hy
-    use_pal = _use_pallas_chunk(cfg, R, L) and (
-        _jax.default_backend() != "tpu" or ctx.py == 1 or Hy % 64 == 0)
+    C, Hx, Hy, R, L, use_pal = chunk_plan(cfg, ctx, ni, nj)
+    H = C * cfg.ext_halo_sub
+    Hy_ring = Hy if ctx.py > 1 else H
+    n_chunks = cfg.isplit // C
 
     ext = lambda a: _ring_extend(a, ctx, H, Hy=Hy_ring)
     # static fields: extended once; denominator metrics get 1.0 beyond the

@@ -41,6 +41,7 @@ except ImportError:  # pragma: no cover
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
+from extpom_tpu.core import hw
 
 
 # field lists; order defines the kernel's positional ref layout
@@ -66,15 +67,12 @@ def device_vmem_budget() -> int:
     leaves Mosaic headroom.  Unknown/CPU devices get the conservative
     number (auto dispatch never selects Pallas off-TPU anyway)."""
     global _BUDGET_LOGGED
-    try:
-        kind = jax.devices()[0].device_kind.lower()
-    except Exception:  # pragma: no cover - backend init failure
-        return 11 * 2 ** 20
+    kind = hw.device_kind().lower()
     if any(tag in kind for tag in ("v5", "v6", "v7")):
         budget = 40 * 2 ** 20
     else:
         budget = 11 * 2 ** 20
-        if jax.default_backend() == "tpu" and not _BUDGET_LOGGED:
+        if hw.backend() == "tpu" and not _BUDGET_LOGGED:
             # an unrecognized TPU generation silently falls to the
             # conservative budget (losing the 512^2 VMEM fast path) —
             # say so once instead of silently
@@ -132,7 +130,7 @@ def use_pallas_ext(cfg: Config) -> bool:
         return True
     # auto: single-device TPU only — under a multi-device mesh the stencil
     # ops must stay XLA so GSPMD can insert halo collective-permutes
-    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+    return (hw.backend() == "tpu" and hw.device_count() == 1
             and fits_vmem(cfg))
 
 

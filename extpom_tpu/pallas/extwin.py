@@ -41,6 +41,7 @@ except ImportError:          # pragma: no cover
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
+from extpom_tpu.core import hw
 from extpom_tpu.pallas.extloop import (CARRY_FIELDS, GRID_FIELDS,
                                        AUX_FIELDS, FC_2D_FIELDS,
                                        FC_1D_J, FC_1D_I, fits_vmem)
@@ -85,7 +86,7 @@ def chunk_geometry(cfg: Config):
 def _lane_aligned(cfg: Config) -> bool:
     """Mosaic lane-dim tiling gate (see pallas.phases._geometry_ok): on a
     real TPU the window DMA slices need a 128-aligned lane extent."""
-    return jax.default_backend() != "tpu" or cfg.jm % 128 == 0
+    return hw.backend() != "tpu" or cfg.jm % 128 == 0
 
 
 def use_pallas_extwin(cfg: Config) -> bool:
@@ -102,7 +103,7 @@ def use_pallas_extwin(cfg: Config) -> bool:
         return False
     if cfg.pallas_extwin == "on":
         return True
-    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+    return (hw.backend() == "tpu" and hw.device_count() == 1
             and cfg.dtype == "float32" and not fits_vmem(cfg)
             and cfg.im_act in (None, cfg.im)
             and cfg.jm_act in (None, cfg.jm))

@@ -88,10 +88,10 @@ def test_phases_match_xla_channel():
 def test_phases_double_out_windows(in2):
     """Bi >= 24 keeps the 2-slot OUTPUT pipeline (the production 256^2
     configuration) — covered here in interpret mode with a stripe large
-    enough for phase_geometry to choose it, with and without the input
+    enough for the plan to choose it, with and without the input
     prefetch slots (the in-single/out-double combination is otherwise
     never traced)."""
-    from extpom_tpu.pallas.phases import phase_geometry
+    from extpom_tpu.pallas.phases import PHASES, phase_plan
 
     def run(phases):
         m = seamount_model(im=48, jm=48, kb=7, donate=False,
@@ -99,7 +99,8 @@ def test_phases_double_out_windows(in2):
                            pallas_phases=phases, phase_block=24,
                            phase_halo=8, phase_double_buffer=in2)
         if phases == "on":
-            assert phase_geometry(m.cfg) == (24, True)
+            for p in PHASES:
+                assert phase_plan(m.cfg, p) == (24, in2, True), p
         fc = m.forcing_at(1)
 
         @jax.jit
@@ -116,20 +117,44 @@ def test_phases_double_out_windows(in2):
 
 
 def test_phase_geometry_model():
-    """phase_geometry's on-chip anchors (v5e measurements,
-    tools/phasetune.py): 256^2 keeps Bi=32 with 2-slot outputs; 512^2
-    trades the output pipeline for Bi=16 (757 vs 668 Mpt-steps/s);
-    1024^2+ exceeds the scratch budget at any stripe and must NOT
-    dispatch (pre-round-4 auto would OOM Mosaic there)."""
+    """Per-phase VMEM sizing (round 5, VERDICT r4 #1): each phase's
+    stripe is sized for ITS exact operand set, so the heavy TKE phase no
+    longer drags the others down to its stripe (or off the fast path
+    entirely).  Anchors: the TKE plan must stay within the round-4
+    on-chip OOM boundaries (v5e, tools/phasetune.py: 256^2x31 Bi=32
+    2-slot-out fits / Bi=40 2-slot-out OOMs; 512^2x31 Bi=16 1-slot-out
+    fits / 2-slot OOMs), and — the round-5 headline — EVERY phase must
+    dispatch at the config-5 blessed tile (2x4 mesh over 2048^2x41 ->
+    local 1024x512x41, ring-extended to 1040x640) where round 4
+    returned Bi=0 and silently fell back to the XLA path."""
     from extpom_tpu.core.config import Config
-    from extpom_tpu.pallas.phases import (phase_geometry,
-                                          use_pallas_phases)
-    assert phase_geometry(Config(im=256, jm=256, kb=31)) == (32, True)
-    assert phase_geometry(Config(im=512, jm=512, kb=31)) == (16, False)
-    bi, _ = phase_geometry(Config(im=1024, jm=1024, kb=31))
-    assert bi < 8
-    assert not use_pallas_phases(Config(im=1024, jm=1024, kb=31,
-                                        pallas_phases="on"))
+    from extpom_tpu.pallas.phases import (PHASES, feasible_phases,
+                                          phase_plan, use_pallas_phases)
+
+    c256 = Config(im=256, jm=256, kb=31)
+    plan = phase_plan(c256, "tke")
+    # within the anchored OOM boundary: 2-slot-out only below Bi=40
+    assert plan.bi >= 32 and not (plan.bi >= 40 and plan.out2)
+    c512 = Config(im=512, jm=512, kb=31)
+    plan = phase_plan(c512, "tke")
+    assert plan.bi >= 16 and not plan.out2
+    # lighter phases earn strictly larger stripes (or full
+    # double-buffering) than round 4's worst-phase Bi=16 at 512^2
+    assert phase_plan(c512, "lat") >= (24, True, True)
+    assert phase_plan(c512, "uvw").bi >= 32
+
+    # config-5 blessed tile: all five phases dispatch (round-4 hole)
+    cfg5 = Config(im=2048, jm=2048, kb=41)
+    assert feasible_phases(cfg5, rows=1040, lanes=640) == list(PHASES)
+    # 1024^2x31 single-device: feasible now (round 4 refused)
+    c1k = Config(im=1024, jm=1024, kb=31, pallas_phases="on")
+    assert feasible_phases(c1k) == list(PHASES)
+    assert use_pallas_phases(c1k)
+    # beyond any stripe (2048^2x41 single-device global): the heavy
+    # phases fall back individually; uvw still fits
+    big = Config(im=2048, jm=2048, kb=41)
+    assert phase_plan(big, "tke").bi < 8
+    assert phase_plan(big, "uvw").bi >= 8
 
 
 def test_phase_geometry_gate():

@@ -2,7 +2,13 @@
 path — the round-4 "one machine" gate (VERDICT r3 #1: a shard_map(1x1)
 TPU run within 10 % of the single-device bench).
 
-Usage: python tools/meshbench.py [--im 256] [--kb 31] [--steps 50]
+Usage: python tools/meshbench.py [--im 256] [--jm 256] [--kb 31]
+       [--steps 50] [--modes plain,shardmap]
+
+--im 1024 --jm 512 --kb 41 measures the config-5 PER-CHIP tile (the
+2048^2x41 run decomposed 2x4, configs/config5_2048.json) on one chip
+under shard_map(1x1) — the reference's per-rank workload (pom.sh:1 +
+pom.h_dist:22-28) with no analogue number in the repo before round 5.
 
 Runs the seamount 3-D core (the bench.py configuration) twice on the
 attached device: plain (global arrays, Pallas fast paths) and
@@ -47,20 +53,31 @@ def measure(im, jm, kb, n, mesh_mode):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--im", type=int, default=256)
+    ap.add_argument("--jm", type=int, default=0)
     ap.add_argument("--kb", type=int, default=31)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--modes", default="plain,shardmap")
     args = ap.parse_args()
+    jm = args.jm or args.im
 
+    from extpom_tpu.core.config import Config
+    from extpom_tpu.core.dispatch import dispatch_report, format_report
     rows = {}
-    for mode in (None, "shardmap"):
-        gps, spstep = measure(args.im, args.im, args.kb, args.steps, mode)
-        name = mode or "plain"
+    for name in args.modes.split(","):
+        mode = None if name == "plain" else name
+        rep = dispatch_report(Config(im=args.im, jm=jm, kb=args.kb),
+                              mode=mode)
+        print(f"{name} dispatch:\n{format_report(rep)}", flush=True)
+        gps, spstep = measure(args.im, jm, args.kb, args.steps, mode)
         rows[name] = dict(gps=gps, ms_per_step=spstep * 1e3)
         print(f"{name:9s}: {gps/1e6:8.1f} Mpt-steps/s "
               f"({spstep*1e3:.2f} ms/step)", flush=True)
-    ratio = rows["shardmap"]["gps"] / rows["plain"]["gps"]
-    print(f"shardmap(1x1) / plain = {ratio:.3f}")
-    print(json.dumps({"rows": rows, "ratio": round(ratio, 4)}))
+    out = {"rows": rows}
+    if "plain" in rows and "shardmap" in rows:
+        ratio = rows["shardmap"]["gps"] / rows["plain"]["gps"]
+        print(f"shardmap(1x1) / plain = {ratio:.3f}")
+        out["ratio"] = round(ratio, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
