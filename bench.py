@@ -4,7 +4,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The metric is grid-points/s/chip on the full mode-split 3-D step
 (BASELINE.json primary metric).  The reference publishes no numbers
 ("published": {}), so vs_baseline is the ratio to the PREVIOUS round's
-recorded result (BENCH_r03: 7.322e8 grid-point-steps/s) — the only perf
+recorded result (BENCH_r04: 9.354e8 grid-point-steps/s) — the only perf
 comparison this project has; >1.0 means this round got faster.
 """
 
@@ -63,7 +63,7 @@ def main():
                   f"{type(e).__name__}", flush=True)
     if gps is None:
         raise SystemExit(1)
-    prev_round = 7.322e8           # BENCH_r03 on the same chip/config
+    prev_round = 9.354e8           # BENCH_r04 on the same chip/config
     print(json.dumps({
         "metric": "seamount3d_grid_points_per_s_per_chip",
         "value": round(gps, 1),

@@ -44,12 +44,18 @@ def dispatch_report(cfg: Config, px: int = 1, py: int = 1,
         nj = -(-cfg.jm // py)
         ctx = DomainCtx(im=cfg.im_act or cfg.im, jm=cfg.jm_act or cfg.jm,
                         axis_x="x", axis_y="y", px=px, py=py)
-        C, Hx, Hy, R, L, use_pal = extchunk.chunk_plan(cfg, ctx, ni, nj)
+        C, Hx, Hy, R, L, use_pal, use_win = extchunk.chunk_plan(
+            cfg, ctx, ni, nj)
         if extchunk.use_chunked_local(cfg, ctx, (ni, nj)):
+            machine = ("chunked-ring+vmem-kernel" if use_pal
+                       else "chunked-ring+win-kernel" if use_win
+                       else "chunked-ring+xla")
             rep["external"] = {
-                "machine": "chunked-ring+vmem-kernel" if use_pal
-                else "chunked-ring+xla",
+                "machine": machine,
                 "C": C, "ring": (Hx, Hy), "block": (R, L)}
+            if use_win:
+                H, Bi, _ = extwin.win_geometry(cfg, R, L, C)
+                rep["external"] |= {"H": H, "Bi": Bi}
         else:
             rep["external"] = {"machine": "xla-local-permute"}
         hx, hy = phases.mesh_ring_halos(cfg, ctx)

@@ -59,6 +59,51 @@ class ArraySource:
         return self.data.keys()
 
 
+class MultiSource:
+    """Merge several record sources into one view.
+
+    The CLI opens surface forcing and lateral boundary series as separate
+    datasets (the reference's `.sfrc.nc` vs `.lbry.nc` split,
+    io_pnetcdf.F:2912-3622); a case generator may contribute a third.
+    Ownership is resolved ONCE at construction — a variable name served
+    by two sources is a configuration error and raises (the reference
+    would silently read whichever file the call site hard-codes; here
+    sources are discovered by format sniff, so shadowing must be loud).
+
+    ``interp`` participates in the provider's native-interpolation
+    protocol: it delegates to the owning source's fused ``interp`` when
+    it has one (the mmap+C++ EFR path, native/recordio.py) and returns
+    ``None`` to decline otherwise, letting the provider's cached
+    double-buffer path serve that variable.
+    """
+
+    def __init__(self, sources: Sequence):
+        self.sources = list(sources)
+        self._owner: Dict[str, object] = {}
+        for s in self.sources:
+            for name in s.names():
+                if name in self._owner:
+                    raise ValueError(
+                        f"forcing variable {name!r} provided by both "
+                        f"{type(self._owner[name]).__name__} and "
+                        f"{type(s).__name__}")
+                self._owner[name] = s
+
+    def names(self):
+        return self._owner.keys()
+
+    def nrec(self, name: str) -> int:
+        return self._owner[name].nrec(name)
+
+    def read(self, name: str, n: int) -> np.ndarray:
+        return self._owner[name].read(name, n)
+
+    def interp(self, name: str, x: float):
+        owner = self._owner[name]
+        itp = getattr(owner, "interp", None)
+        return None if itp is None else itp(name, x)
+
+
 # variable-name groups, matching the reference's dataset contents (§2.5)
 WIND_VARS = ("wusurf", "wvsurf")                       # .sfrc wind stress
 HEAT_VARS = ("wtsurf", "swrad")                        # .sfrc heat fluxes
@@ -122,9 +167,15 @@ class ForcingProvider:
         """Bracketing records + linear interpolation
         (bounds_forcing.f:841-865 pattern: field=(1-frac)*b + frac*f)."""
         x = time_days / cadence
-        if hasattr(self.source, "interp"):
-            # native path: fused C++ interpolation + mmap prefetch
-            return self.source.interp(name, x)
+        itp = getattr(self.source, "interp", None)
+        if itp is not None:
+            # native path: fused C++ interpolation + mmap prefetch.  A
+            # merged source returns None for variables whose owner has no
+            # fused interp (MultiSource protocol) — fall through to the
+            # cached double-buffer path for those.
+            rec = itp(name, x)
+            if rec is not None:
+                return rec
         n = int(np.floor(x))
         frac = x - n
         b = self._read(name, n)

@@ -147,12 +147,23 @@ def _use_pallas_chunk(cfg: Config, R: int, L: int) -> bool:
 def chunk_plan(cfg: Config, ctx, ni: int, nj: int):
     """Static decisions of the chunked external loop for a (ni, nj)
     local block: (C substeps per ring exchange, Hx/Hy ring widths, R/L
-    extended extents, whether the chunk body runs as the VMEM-resident
-    Pallas kernel).  Shared by the runner below and the dispatch report
-    (core.dispatch) so the echo can never drift from the execution."""
+    extended extents, chunk-body machine).  The body is the VMEM-resident
+    Pallas kernel (``use_pal``) when the whole extended 2-D working set
+    fits on-chip, else the striped window kernel (``use_win``,
+    pallas.extwin.run_external_chunk_windowed — the plain path's
+    large-grid external machine composed with the mesh), else the XLA
+    fori body.  For the window body, C is re-chosen to minimize modeled
+    HBM traffic (the same optimization as extwin.chunk_geometry: larger
+    C cuts passes but inflates both ring width and window read
+    amplification), and the x ring rounds up to a multiple of 4 so the
+    extended row extent R stays sublane-aligned for the window DMAs (the
+    extra ring rows carry further-valid neighbor data).  Shared by the
+    runner below and the dispatch report (core.dispatch) so the echo can
+    never drift from the execution."""
+    from extpom_tpu.pallas import extwin
     C = _chunk(cfg, ctx, (ni, nj))
     H = C * cfg.ext_halo_sub
-    # y-ring width: on a real TPU the Pallas chunk kernel wants the lane
+    # y-ring width: on a real TPU the Pallas chunk kernels want the lane
     # extent of the extended block 128-aligned, so the y ring rounds up to
     # a multiple of 64 (the extra rows carry further-valid neighbor data)
     Hy_ring = H
@@ -166,7 +177,42 @@ def chunk_plan(cfg: Config, ctx, ni: int, nj: int):
     R, L = ni + 2 * Hx, nj + 2 * Hy
     use_pal = _use_pallas_chunk(cfg, R, L) and (
         hw.backend() != "tpu" or ctx.py == 1 or Hy % 64 == 0)
-    return C, Hx, Hy, R, L, use_pal
+    if use_pal:
+        return C, Hx, Hy, R, L, True, False
+
+    # window body: joint (C, geometry) over divisors of isplit
+    best = None
+    lim = cfg.isplit * cfg.ext_halo_sub
+    if ctx.px > 1:
+        lim = min(lim, ni)
+    if ctx.py > 1:
+        lim = min(lim, nj)
+    for Cw in range(min(cfg.extwin_chunk, cfg.isplit), 0, -1):
+        if cfg.isplit % Cw or Cw * cfg.ext_halo_sub > lim:
+            continue
+        Hw = Cw * cfg.ext_halo_sub
+        hx = -(-Hw // 4) * 4 if ctx.px > 1 else 0
+        if hx > ni:
+            continue
+        hy = 0
+        if ctx.py > 1:
+            hy = -(-Hw // 64) * 64 if hw.backend() == "tpu" else Hw
+            if hy > nj:
+                continue
+        r, lx = ni + 2 * hx, nj + 2 * hy
+        Hwin, Bi, ok = extwin.win_geometry(cfg, r, lx, Cw)
+        if not ok:
+            continue
+        traffic = (cfg.isplit // Cw) * (
+            extwin._N_WIN * (Bi + 2 * Hwin) / Bi + extwin._N_OUT
+        ) * r * lx
+        if best is None or traffic < best[0]:
+            best = (traffic, Cw, hx, hy, r, lx)
+    if best is not None and extwin.use_win_chunk(
+            cfg, best[4], best[5], best[1]):
+        _, Cw, hx, hy, r, lx = best
+        return Cw, hx, hy, r, lx, False, True
+    return C, Hx, Hy, R, L, False, False
 
 
 def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
@@ -184,18 +230,22 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
     from extpom_tpu.mesh.padding import _GRID_PAD_ONE
     import jax as _jax
 
+    from extpom_tpu.pallas import extwin
+
     ni = c0.el.shape[-2]
     nj = c0.el.shape[-1]
-    C, Hx, Hy, R, L, use_pal = chunk_plan(cfg, ctx, ni, nj)
-    H = C * cfg.ext_halo_sub
-    Hy_ring = Hy if ctx.py > 1 else H
+    C, Hx, Hy, R, L, use_pal, use_win = chunk_plan(cfg, ctx, ni, nj)
+    # ring widths come from the PLAN (the window body rounds the x ring
+    # up for sublane alignment), not re-derived from C
+    Hx_ring = Hx if ctx.px > 1 else C * cfg.ext_halo_sub
+    Hy_ring = Hy if ctx.py > 1 else C * cfg.ext_halo_sub
     n_chunks = cfg.isplit // C
 
-    ext = lambda a: _ring_extend(a, ctx, H, Hy=Hy_ring)
+    ext = lambda a: _ring_extend(a, ctx, Hx_ring, Hy=Hy_ring)
     # static fields: extended once; denominator metrics get 1.0 beyond the
     # physical domain (finite halo arithmetic — the GRID_PAD_ONE rule)
     g_ns = type(grid)(**{  # Grid is a frozen dataclass pytree
-        **{f: _ring_extend(getattr(grid, f), ctx, H, Hy=Hy_ring,
+        **{f: _ring_extend(getattr(grid, f), ctx, Hx_ring, Hy=Hy_ring,
                            fill=(1.0 if f in _GRID_PAD_ONE else 0.0))
            if getattr(grid, f).ndim >= 2
            and getattr(grid, f).shape[-2:] == (ni, nj)
@@ -207,7 +257,7 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
         jnp.asarray(getattr(fc, f), c0.el.dtype), ctx, Hy_ring, "y")
         for f in FC_1D_J})
     fc_patch.update({f: _ring_extend_1d(
-        jnp.asarray(getattr(fc, f), c0.el.dtype), ctx, H, "x")
+        jnp.asarray(getattr(fc, f), c0.el.dtype), ctx, Hx_ring, "x")
         for f in FC_1D_I})
     fc_e = fc.replace(**fc_patch)
 
@@ -227,6 +277,10 @@ def run_external_loop_chunked(grid, cfg: Config, c0, fc, aux, ctx):
             c = extloop.run_external_chunk_vmem(
                 g_ns, cfg, c, fc_e, aux_e, C, ic * C + 1, goff,
                 interpret=interpret)
+        elif use_win:
+            c = extwin.run_external_chunk_windowed(
+                g_ns, cfg, c, fc_e, aux_e, C, ic * C + 1, goff,
+                ctx.im, ctx.jm, interpret=interpret)
         else:
             with stencil.domain(win_ctx), stencil.mask_caching():
                 em = stepper.ext_precompute(g_ns)

@@ -109,14 +109,20 @@ def use_pallas_extwin(cfg: Config) -> bool:
             and cfg.jm_act in (None, cfg.jm))
 
 
-def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
+def _kernel(cfg: Config, C: int, H: int, Bi: int, R: int, im_act: int,
+            jm_act: int, has_off: bool, n_win: int,
             win_names, rep_names, *refs):
     """One chunk over one i-stripe: DMA windows in, C substeps VMEM-
-    resident, DMA carry interiors out."""
+    resident, DMA carry interiors out.
+
+    ``R``: i extent of the input arrays (cfg.im on the plain path; the
+    ring-extended local block of the shard_map composition).  ``has_off``:
+    the SMEM block carries the traced global (i, j) index of array cell
+    (0, 0) (mesh variant) — region masks then resolve against global
+    indices and edge windows must NOT be treated as boundary-clamped."""
     from extpom_tpu.core import stepper
     from extpom_tpu.ops import stencil
 
-    im, jm = cfg.im, cfg.jm
     W = Bi + 2 * H
     n_rep = len(rep_names)
     n_out = len(CARRY_FIELDS)
@@ -124,7 +130,7 @@ def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
     it = iter(refs)
     win_refs = [next(it) for _ in range(n_win)]
     rep_refs = [next(it) for _ in range(n_rep)]
-    smem_ref = next(it)                       # (1, 2): ramp, iext0
+    smem_ref = next(it)              # (1, 2): ramp, iext0 [+ goff_i/j]
     out_refs = [next(it) for _ in range(n_out)]
     win_scr = [next(it) for _ in range(n_win)]
     out_scr = [next(it) for _ in range(n_out)]
@@ -133,8 +139,8 @@ def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
 
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
-    j0 = pl.multiple_of(jnp.minimum(i * Bi, im - Bi), 8)
-    start = pl.multiple_of(jnp.clip(j0 - H, 0, im - W), 8)
+    j0 = pl.multiple_of(jnp.minimum(i * Bi, R - Bi), 8)
+    start = pl.multiple_of(jnp.clip(j0 - H, 0, R - W), 8)
     off = pl.multiple_of(j0 - start, 8)
 
     # two-slot input pipeline (same pattern as pallas/phases._kernel):
@@ -155,8 +161,8 @@ def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
 
     @pl.when(i + 1 < nblk)
     def _():
-        nj0 = pl.multiple_of(jnp.minimum((i + 1) * Bi, im - Bi), 8)
-        nstart = pl.multiple_of(jnp.clip(nj0 - H, 0, im - W), 8)
+        nj0 = pl.multiple_of(jnp.minimum((i + 1) * Bi, R - Bi), 8)
+        nstart = pl.multiple_of(jnp.clip(nj0 - H, 0, R - W), 8)
         for k in range(n_win):
             in_copy(k, nstart, lax.rem(i + 1, jnp.int32(2))).start()
 
@@ -176,11 +182,16 @@ def _kernel(cfg: Config, C: int, H: int, Bi: int, n_win: int,
     aux_vals = tuple(vals[f] for f in AUX_FIELDS)
     c = stepper.ExtCarry(*(vals[f] for f in CARRY_FIELDS))
 
-    im_act = cfg.im_act or im
-    jm_act = cfg.jm_act or jm
-    with stencil.domain(stencil.DomainCtx(
+    if has_off:
+        ctx = stencil.DomainCtx(
+            im=im_act, jm=jm_act, windowed=True,
+            off_i=smem_ref[0, 2].astype(jnp.int32) + start,
+            off_j=smem_ref[0, 3].astype(jnp.int32))
+    else:
+        ctx = stencil.DomainCtx(
             im=im_act, jm=jm_act, windowed=True, off_i=start,
-            edge_slice=(im_act == im))), stencil.mask_caching():
+            edge_slice=(im_act == R))
+    with stencil.domain(ctx), stencil.mask_caching():
         # the C substeps are Python-unrolled: mask_caching dedupes the
         # put/set region masks across them (one iota+compare set total)
         em = stepper.ext_precompute(grid_ns)
@@ -260,8 +271,9 @@ def run_external_loop_windowed(grid: Grid, cfg: Config, c0, fc, aux,
                + [pltpu.SemaphoreType.DMA((2, n_win)),
                   pltpu.SemaphoreType.DMA((2, n_out))])
 
-    kern = functools.partial(_kernel, cfg, C, H, Bi, n_win,
-                             win_names, rep_names)
+    kern = functools.partial(_kernel, cfg, C, H, Bi, im,
+                             cfg.im_act or im, cfg.jm_act or jm, False,
+                             n_win, win_names, rep_names)
     call = pl.pallas_call(
         kern,
         grid=(-(-im // Bi),),
@@ -284,3 +296,104 @@ def run_external_loop_windowed(grid: Grid, cfg: Config, c0, fc, aux,
         return stepper.ExtCarry(*outs)
 
     return lax.fori_loop(0, n_chunks, chunk, c0)
+
+
+# ---------------------------------------------------------------------------
+# shard_map composition: the same striped window kernel on a
+# halo-ring-extended local block (one chunk of C substeps per call)
+# ---------------------------------------------------------------------------
+
+def win_geometry(cfg: Config, R: int, L: int, C: int):
+    """(H, Bi, ok) for striping a (R, L) ring-extended local block
+    through the window kernel for ``C`` substeps.  H covers the substeps'
+    chained halo consumption (ring width, rounded to a sublane tile); Bi
+    fills the extwin VMEM budget at lane extent ``L``."""
+    H = -(-(C * cfg.ext_halo_sub) // 8) * 8
+    w_max = cfg.extwin_budget_mb * 2 ** 20 // (110 * 4 * L)
+    bi = min((w_max - 2 * H) // 8 * 8, R // 8 * 8 - 2 * H)
+    ok = (bi >= 8 and R % 8 == 0
+          and (hw.backend() != "tpu" or L % 128 == 0))
+    return H, max(bi, 0), ok
+
+
+def use_win_chunk(cfg: Config, R: int, L: int, C: int) -> bool:
+    """Dispatch the striped window kernel as the chunk body of the
+    shard_map external loop (mesh/extchunk.py) — serves local blocks too
+    large for the whole-block VMEM chunk kernel, carrying the plain
+    path's large-grid external machine onto the mesh.  "on" forces
+    (interpret off-TPU: tests); "auto" requires TPU f32 and a fitting
+    stripe geometry."""
+    if cfg.pallas_extwin == "off" or not _HAVE_PLTPU:
+        return False
+    _, _, ok = win_geometry(cfg, R, L, C)
+    if not ok:
+        return False
+    if cfg.pallas_extwin == "on":
+        return True
+    return hw.backend() == "tpu" and cfg.dtype == "float32"
+
+
+def run_external_chunk_windowed(grid_ns, cfg: Config, c0, fc_ns, aux,
+                                C: int, iext0, goff, im_act: int,
+                                jm_act: int, interpret: bool = False):
+    """Run ``C`` external substeps over a halo-ring-extended (R, L) local
+    block as striped window passes (the shard_map composition of
+    :func:`run_external_loop_windowed`, mirroring
+    extloop.run_external_chunk_vmem's contract).  ``goff`` is the traced
+    global (i, j) index of block cell (0, 0); region masks resolve
+    against global indices through SMEM, outputs' ring rows are garbage
+    by construction and must be trimmed by the caller."""
+    from extpom_tpu.core import stepper
+
+    dt_ = c0.el.dtype
+    R, L = c0.el.shape[-2], c0.el.shape[-1]
+    H, Bi, ok = win_geometry(cfg, R, L, C)
+    assert ok, "caller must gate on use_win_chunk"
+    W = Bi + 2 * H
+
+    win_names = (list(CARRY_FIELDS) + list(GRID_FIELDS)
+                 + list(AUX_FIELDS) + list(FC_2D_FIELDS) + list(FC_1D_I))
+    rep_names = list(FC_1D_J)
+
+    wins = list(c0)
+    wins += [getattr(grid_ns, f) for f in GRID_FIELDS]
+    wins += list(aux)
+    wins += [jnp.asarray(getattr(fc_ns, f), dt_) for f in FC_2D_FIELDS]
+    wins += [jnp.broadcast_to(
+        jnp.asarray(getattr(fc_ns, f), dt_)[:, None], (R, L))
+        for f in FC_1D_I]
+    rep_in = [jnp.asarray(getattr(fc_ns, f), dt_).reshape(1, -1)
+              for f in FC_1D_J]
+    n_win = len(wins)
+    smem_in = jnp.stack([
+        jnp.asarray(fc_ns.ramp, dt_),
+        jnp.asarray(iext0, dt_),
+        jnp.asarray(goff[0], dt_),
+        jnp.asarray(goff[1], dt_)]).reshape(1, 4)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_out = len(CARRY_FIELDS)
+    out_shape = tuple(jax.ShapeDtypeStruct((R, L), dt_)
+                      for _ in CARRY_FIELDS)
+    scratch = ([pltpu.VMEM((2, W, L), dt_) for _ in range(n_win)]
+               + [pltpu.VMEM((2, W, L), dt_) for _ in range(n_out)]
+               + [pltpu.SemaphoreType.DMA((2, n_win)),
+                  pltpu.SemaphoreType.DMA((2, n_out))])
+
+    kern = functools.partial(_kernel, cfg, C, H, Bi, R, im_act, jm_act,
+                             True, n_win, win_names, rep_names)
+    outs = pl.pallas_call(
+        kern,
+        grid=(-(-R // Bi),),
+        in_specs=[any_spec] * n_win + [vmem] * len(rep_names) + [smem],
+        out_specs=tuple(any_spec for _ in CARRY_FIELDS),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
+            if (_HAVE_PLTPU and not interpret) else None),
+    )(*wins, *rep_in, smem_in)
+    return stepper.ExtCarry(*outs)

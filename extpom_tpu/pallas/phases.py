@@ -102,11 +102,21 @@ PHASES = ("lat", "uvw", "tke", "tracer", "mom")
 # scaled by chain length and probed on-chip with tools/phasetune.py.
 _PHASE_TMP3 = {"uvw": 4, "tke": 3, "tracer": 6, "lat": 6, "mom": 5}
 
-# scratch budget for the windows (under the 110 MiB kernel limit, leaving
-# temporaries headroom).  Anchored on-chip (v5e, tools/phasetune.py):
-# 256^2x31 Bi=32 2-slot-out FITS / Bi=40 OOMs; 512^2x31 Bi=16
-# 1-slot-out FITS (757 Mpt-steps/s) / 2-slot OOMs.
+# scratch budget for the windows (under the VMEM_LIMIT kernel limit,
+# leaving temporaries headroom).  Anchored on-chip (v5e,
+# tools/phasetune.py): 256^2x31 Bi=32 2-slot-out FITS / Bi=40 OOMs;
+# 512^2x31 Bi=16 1-slot-out FITS (757 Mpt-steps/s) / 2-slot OOMs.
 _SCRATCH_BUDGET = 83 * 2 ** 20
+
+# scoped-vmem limit requested for the phase kernels (128 MiB physical on
+# v5e).  120 MiB: the mesh-composed variant of a phase kernel carries
+# more live temporaries than the global one at the same plan — its region
+# masks resolve against traced global offsets and its edge writes cannot
+# be row-sliced (stencil.set_i edge_slice off), so e.g. tke(Bi=16,1s,1s)
+# at the config-5 per-chip tile (1024x512x41) measures 117.95 MiB scoped
+# demand where the plain variant fits 110 (probed on-chip, round 5); at
+# 120 the same plan compiles and runs on both.
+VMEM_LIMIT = 120 * 2 ** 20
 
 
 def phase_counts(cfg: Config, phase: str):
@@ -467,7 +477,7 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
+            pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
             if (_HAVE_PLTPU and not interpret) else None),
     )(*win_in, *rep_in, *extra_in)
     return outs

@@ -101,30 +101,10 @@ def build_model(conf: dict):
         if key in conf:
             sources.append(_open_source(conf[key]))
     if sources:
-        # merge sources into one view
-        class _Multi:
-            def __init__(self, srcs):
-                self.srcs = srcs
-
-            def names(self):
-                out = []
-                for s in self.srcs:
-                    out.extend(s.names())
-                return out
-
-            def _owner(self, name):
-                for s in self.srcs:
-                    if name in s.names():
-                        return s
-                raise KeyError(name)
-
-            def nrec(self, name):
-                return self._owner(name).nrec(name)
-
-            def read(self, name, n):
-                return self._owner(name).read(name, n)
+        from extpom_tpu.forcing.provider import MultiSource
+        src = sources[0] if len(sources) == 1 else MultiSource(sources)
         m.forcing_fn = ForcingProvider(
-            grid, cfg, m.base_forcing, _Multi(sources),
+            grid, cfg, m.base_forcing, src,
             cont_bry_offset=int(conf.get("cont_bry", 0)))
 
     # restart resume (initialize.f:39; read_restart_pnetcdf)

@@ -69,3 +69,45 @@ def test_extwin_geometry():
 
         best = min((traffic(c) for c in (1, 2, 3, 5, 6, 10)))
         assert traffic(C) == best, (im, C)
+
+
+def test_mesh_windowed_chunk_plan():
+    """chunk_plan (mesh/extchunk.py) must select the striped window body
+    at local blocks too large for the VMEM chunk kernel — the round-5
+    closure of the external mode at the config-5 geometry — with
+    sublane-aligned ring-extended extents, and keep the VMEM body where
+    it fits."""
+    from extpom_tpu.core import hw
+    from extpom_tpu.core.config import Config
+    from extpom_tpu.mesh.extchunk import chunk_plan
+    from extpom_tpu.ops.stencil import DomainCtx
+
+    with hw.assume_tpu():
+        # config-5 blessed decomposition: 2x4 over 2048^2x41
+        cfg = Config(im=2048, jm=2048, kb=41)
+        ctx = DomainCtx(im=2048, jm=2048, axis_x="x", axis_y="y",
+                        px=2, py=4)
+        C, Hx, Hy, R, L, use_pal, use_win = chunk_plan(
+            cfg, ctx, 1024, 512)
+        assert use_win and not use_pal
+        assert R % 8 == 0 and L % 128 == 0, (R, L)
+        assert Hx >= C * cfg.ext_halo_sub and Hy >= C * cfg.ext_halo_sub
+        assert cfg.isplit % C == 0
+
+        # 1x1 shardmap at the same tile: ring-free, window body, and the
+        # traffic optimum must NOT degenerate to one isplit-long chunk
+        # (H would triple and amplification quadruple)
+        ctx1 = DomainCtx(im=1024, jm=512, axis_x="x", axis_y="y",
+                        px=1, py=1)
+        C1, hx1, hy1, R1, L1, p1, w1 = chunk_plan(
+            Config(im=1024, jm=512, kb=41), ctx1, 1024, 512)
+        assert w1 and not p1
+        assert (hx1, hy1) == (0, 0) and (R1, L1) == (1024, 512)
+        assert C1 < 30
+
+        # small local blocks keep the VMEM whole-block body
+        cfg4 = Config(im=512, jm=512, kb=31)
+        ctx4 = DomainCtx(im=512, jm=512, axis_x="x", axis_y="y",
+                         px=2, py=2)
+        *_, p4, w4 = chunk_plan(cfg4, ctx4, 256, 256)
+        assert p4 and not w4

@@ -140,3 +140,64 @@ def test_chunked_staging_with_pallas_fast_paths():
         b = np.asarray(getattr(m2.state, name))
         tol = 1e-11 * max(1.0, float(np.abs(a).max()))
         np.testing.assert_allclose(a, b, rtol=0, atol=tol, err_msg=name)
+
+
+def test_multisource_merge_and_native_interp_protocol():
+    """MultiSource (forcing/provider.py): ownership resolved once at
+    construction, duplicate names loud, and the fused-interp protocol —
+    an owner WITH ``interp`` serves it, an owner without declines (None)
+    so the provider's cached double-buffer path handles the variable."""
+    from extpom_tpu.forcing.provider import MultiSource
+
+    a = ArraySource({"wusurf": np.zeros((2, 4, 4))})
+
+    class Fused(ArraySource):
+        def interp(self, name, x):
+            return np.full((4, 4), 42.0 + x)
+
+    b = Fused({"wtsurf": np.ones((2, 4, 4))})
+    ms = MultiSource([a, b])
+    assert sorted(ms.names()) == ["wtsurf", "wusurf"]
+    assert ms.nrec("wusurf") == 2
+    np.testing.assert_array_equal(ms.read("wtsurf", 1), np.ones((4, 4)))
+    # interp protocol: delegate vs decline
+    np.testing.assert_allclose(ms.interp("wtsurf", 0.5), 42.5)
+    assert ms.interp("wusurf", 0.5) is None
+    with pytest.raises(KeyError):
+        ms.nrec("nope")
+    # duplicate-name policy: loud at construction
+    with pytest.raises(ValueError, match="wusurf"):
+        MultiSource([a, ArraySource({"wusurf": np.zeros((1, 4, 4))})])
+
+
+def test_multisource_through_provider():
+    """A merged source behind the provider: the declined variable takes
+    the generic interpolation path, the fused one bypasses it."""
+    from extpom_tpu.cases.seamount import seamount_case
+    from extpom_tpu.core.model import Model
+    from extpom_tpu.forcing.provider import MultiSource
+
+    cfg, grid, ics = seamount_case(im=17, jm=17, kb=7, dtype="float64")
+    m = Model(grid, cfg, tb=ics["tb"], sb=ics["sb"], donate=False)
+
+    wu = np.arange(4)[:, None, None] * np.ones((4, 17, 17))
+
+    class Fused(ArraySource):
+        def interp(self, name, x):
+            a = self.data[name]
+            n = int(np.floor(x))
+            lo = a[min(max(n, 0), a.shape[0] - 1)]
+            hi = a[min(max(n + 1, 0), a.shape[0] - 1)]
+            return (1.0 - (x - n)) * lo + (x - n) * hi
+
+    wt = -np.arange(4)[:, None, None] * np.ones((4, 17, 17))
+    src = MultiSource([ArraySource({"wusurf": wu}),
+                       Fused({"wtsurf": wt})])
+    prov = ForcingProvider(grid, cfg, m.base_forcing, src)
+    iint = int(0.0625 * 86400 / cfg.dti)
+    t_days = cfg.dti * iint / 86400.0
+    fc = prov(m, iint)
+    np.testing.assert_allclose(np.asarray(fc.wusurf)[0, 0],
+                               t_days / 0.125, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fc.wtsurf)[0, 0],
+                               -t_days / 0.125, rtol=1e-6)

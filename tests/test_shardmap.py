@@ -149,3 +149,26 @@ def test_shardmap_orlanski_scheme():
     m = seamount_model(dtype="float64", donate=False, **kw)
     st = _run_shardmap(m, make_mesh(2, 4))
     _compare(ref.state, st)
+
+
+def test_shardmap_windowed_chunk_body():
+    """The striped window kernel as the chunk body (round 5:
+    pallas.extwin.run_external_chunk_windowed — the plain path's
+    large-grid external machine composed with the mesh, serving local
+    blocks too big for the whole-block VMEM chunk kernel).  Forced via
+    pallas_extwin='on' (+ pallas_ext='off' so the VMEM body stands
+    aside); interpret mode on the CPU mesh; must match the single-device
+    oracle bit-for-bit at the shardmap gate."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(im=32, jm=64, kb=7)
+    ref = _run_ref(**kw)
+    m = seamount_model(dtype="float64", donate=False,
+                       pallas_ext="off", pallas_extwin="on", **kw)
+    from extpom_tpu.mesh.extchunk import chunk_plan
+    from extpom_tpu.ops.stencil import DomainCtx
+    ctx = DomainCtx(im=32, jm=64, axis_x="x", axis_y="y", px=2, py=4)
+    plan = chunk_plan(m.cfg, ctx, 16, 16)
+    assert plan[6], f"win body must dispatch here, got {plan}"
+    st = _run_shardmap(m, make_mesh(2, 4))
+    _compare(ref.state, st)

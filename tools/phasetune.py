@@ -25,7 +25,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure(size, kb, phase, plan, n=50, block=64, base=None):
+def measure(size, kb, phase, plan, n=50, block=64, base=None, jm=0):
     """Time the bench segment with ``phase`` forced to ``plan``; ``base``
     optionally forces every OTHER phase to one plan too (None = model)."""
     from extpom_tpu.pallas import phases
@@ -41,8 +41,9 @@ def measure(size, kb, phase, plan, n=50, block=64, base=None):
         return orig(self, p, *a, **k)
 
     phases.runner._exact_plan = patched
+    jm = jm or size
     try:
-        m = seamount_model(im=size, jm=size, kb=kb, donate=False,
+        m = seamount_model(im=size, jm=jm, kb=kb, donate=False,
                            phase_block=block)
         m.run_segment(n)
         jax.block_until_ready(m.state.el)
@@ -52,7 +53,7 @@ def measure(size, kb, phase, plan, n=50, block=64, base=None):
         m.run_segment(n)
         jax.block_until_ready(m.state.el)
         dt = (time.perf_counter() - t0) / n
-        return size * size * kb / dt, dt
+        return size * jm * kb / dt, dt
     finally:
         phases.runner._exact_plan = orig
 
@@ -60,6 +61,7 @@ def measure(size, kb, phase, plan, n=50, block=64, base=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--jm", type=int, default=0)
     ap.add_argument("--kb", type=int, default=31)
     ap.add_argument("--phase", default=None,
                     help="phase to override (lat/uvw/tke/tracer/mom); "
@@ -69,6 +71,9 @@ def main():
     ap.add_argument("--out2", type=int, default=0)
     ap.add_argument("--block", type=int, default=64)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--vmem", type=int, default=0,
+                    help="override the phase kernels' vmem_limit_bytes "
+                         "(MiB)")
     ap.add_argument("--base", default=None,
                     help="force every non-target phase to 'bi,in2,out2' "
                          "instead of the model plan")
@@ -81,8 +86,10 @@ def main():
     from extpom_tpu.pallas import phases
     from extpom_tpu.core.config import Config
 
+    if args.vmem:
+        phases.VMEM_LIMIT = args.vmem * 2 ** 20
     if args.phase is None:
-        cfg = Config(im=args.size, jm=args.size, kb=args.kb,
+        cfg = Config(im=args.size, jm=args.jm or args.size, kb=args.kb,
                      phase_block=args.block)
         for p in phases.PHASES:
             print(p, tuple(phases.phase_plan(cfg, p)), flush=True)
@@ -92,7 +99,8 @@ def main():
         plan = (bi, bool(args.in2), bool(args.out2))
         try:
             gps, dt = measure(args.size, args.kb, args.phase, plan,
-                              args.steps, block=args.block, base=base)
+                              args.steps, block=args.block, base=base,
+                              jm=args.jm)
             print(f"{args.phase} {plan}: {gps/1e6:8.1f} Mpt-steps/s "
                   f"({dt*1e3:.2f} ms/step)", flush=True)
         except Exception as e:                              # noqa: BLE001
