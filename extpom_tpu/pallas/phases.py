@@ -102,6 +102,22 @@ PHASES = ("lat", "uvw", "tke", "tracer", "mom")
 # scaled by chain length and probed on-chip with tools/phasetune.py.
 _PHASE_TMP3 = {"uvw": 4, "tke": 3, "tracer": 6, "lat": 6, "mom": 5}
 
+# REAL live-temporary load for the scoped-demand filter, in 3-D-row
+# equivalents at kb=31, scaling ~ kb (so absolute temp bytes ~ kb^2 W
+# lanes — the fully-unrolled Thomas solves keep per-level values live
+# across the whole sweep).  tke is CHIP-CALIBRATED: 15.5 x 41/31 = 20.5
+# row-equivalents reproduces the measured 117.95 MiB scoped demand of
+# tke(16,1s,1s) at 1024x512x41 to 0.2 % and the kb=31 fit boundaries;
+# phases without an OOM anchor get a modest default (their bodies are
+# single-solve or solve-free).  The flat-headroom _PHASE_TMP3 scheme
+# above mispriced exactly this: headroom is constant while real
+# temporaries scale with row3 x W, so kb=41 geometries OOMed at plans
+# the kb=31 anchors blessed (caught by the config-5 2x4 AOT compile,
+# round 5).
+_PHASE_T31 = {"tke": 15.5, "uvw": 5.0}
+_T31_DEFAULT = 10.0
+_SCOPED_MARGIN = 6 * 2 ** 20
+
 # scratch budget for the windows (under the VMEM_LIMIT kernel limit,
 # leaving temporaries headroom).  Anchored on-chip (v5e,
 # tools/phasetune.py): 256^2x31 Bi=32 2-slot-out FITS / Bi=40 OOMs;
@@ -152,7 +168,8 @@ class PhasePlan(NamedTuple):
 
 
 def plan_from_counts(cfg: Config, counts, rows: int = 0,
-                     lanes: int = 0) -> PhasePlan:
+                     lanes: int = 0, t31: float = _T31_DEFAULT
+                     ) -> PhasePlan:
     """Choose (Bi, in2, out2) so the windows + a live-temporary allowance
     fit the anchored VMEM budget.
 
@@ -178,6 +195,7 @@ def plan_from_counts(cfg: Config, counts, rows: int = 0,
     best, best_rank = PhasePlan(0, False, False), (-1, 0, 0)
     in_choices = (True, False) if cfg.phase_double_buffer else (False,)
     out_choices = (True, False) if cfg.phase_out_double else (False,)
+    temp_row = t31 * (cfg.kb / 31.0) * row3
     for in2 in in_choices:
         si = 2 if in2 else 1
         for out2 in out_choices:
@@ -186,6 +204,14 @@ def plan_from_counts(cfg: Config, counts, rows: int = 0,
                        + (n2i * si + n2o * so) * row2)
             w_max = _SCRATCH_BUDGET // per_row
             bi = min(cfg.phase_block, (w_max - 2 * H) // 8 * 8, bi_rows)
+            # scoped-demand filter (see _PHASE_T31): windows + the
+            # kb-scaled REAL temporary load must fit the requested
+            # scoped-vmem limit, walking bi down until it does
+            win_row = ((n3i * si + n3o * so) * row3
+                       + (n2i * si + n2o * so) * row2)
+            while bi >= 8 and ((bi + 2 * H) * (win_row + temp_row)
+                               > VMEM_LIMIT - _SCOPED_MARGIN):
+                bi -= 8
             if bi < 8:
                 continue
             if in2 and out2 and bi >= 24:
@@ -207,7 +233,8 @@ def phase_plan(cfg: Config, phase: str, rows: int = 0,
     """Per-phase window geometry from the static operand table."""
     n3i, n2i, n3o, n2o = phase_counts(cfg, phase)
     return plan_from_counts(cfg, (n3i, n2i, n3o, n2o, _PHASE_TMP3[phase]),
-                            rows=rows, lanes=lanes)
+                            rows=rows, lanes=lanes,
+                            t31=_PHASE_T31.get(phase, _T31_DEFAULT))
 
 
 def _aligned(cfg: Config, rows: int, lanes: int) -> bool:
@@ -609,7 +636,8 @@ class runner:
         n3 += len(fc_iseries)       # lane-broadcast to 3-D windows
         return plan_from_counts(
             self.cfg, (n3, n2, n_out3, n_out2, _PHASE_TMP3[phase]),
-            rows=self.rows, lanes=self.lanes)
+            rows=self.rows, lanes=self.lanes,
+            t31=_PHASE_T31.get(phase, _T31_DEFAULT))
 
     def _run(self, phase, phase_fn, fc_fields, fc_iseries, arrays,
              n_out3, n_out2, extra_rep=(), fallback=None):

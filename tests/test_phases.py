@@ -146,6 +146,18 @@ def test_phase_geometry_model():
     # config-5 blessed tile: all five phases dispatch (round-4 hole)
     cfg5 = Config(im=2048, jm=2048, kb=41)
     assert feasible_phases(cfg5, rows=1040, lanes=640) == list(PHASES)
+    # ... and the scoped-demand filter (chip-calibrated kb-scaled
+    # temporaries, _PHASE_T31) must keep the tke windows inside the
+    # 120 MiB limit at the RING-EXTENDED 2x4 geometry: out2 at Bi=8
+    # measured 129 MB scoped demand and OOMed the config-5 AOT compile
+    # (round 5) — single-slot output is the fitting plan
+    p5 = phase_plan(cfg5, "tke", rows=1040, lanes=640)
+    assert p5.bi >= 8 and not p5.out2, p5
+    # the chip-validated 1x1 tile plan survives the filter (117.95 MiB
+    # measured at the 120 MiB limit)
+    c5t = Config(im=1024, jm=512, kb=41)
+    assert phase_plan(c5t, "tke", rows=1024, lanes=512) == (16, False,
+                                                           False)
     # 1024^2x31 single-device: feasible now (round 4 refused)
     c1k = Config(im=1024, jm=1024, kb=31, pallas_phases="on")
     assert feasible_phases(c1k) == list(PHASES)

@@ -43,7 +43,11 @@ def compile_for_topology(im, jm, kb, px=2, py=4,
     from extpom_tpu.mesh.shardmap import (make_shardmap_step, _spec_tree,
                                           _leaf_spec)
 
-    m = seamount_model(im=im, jm=jm, kb=kb, donate=False)
+    # build the model on the HOST: only its SHAPES feed the AOT lower
+    # below, and the true config-5 state (~20 GB at 2048^2x41) does not
+    # fit the single attached chip this tool runs beside
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        m = seamount_model(im=im, jm=jm, kb=kb, donate=False)
     step_fn = make_shardmap_step(mesh, m.grid, m.cfg, m.base_forcing)
 
     def shaped(obj):
