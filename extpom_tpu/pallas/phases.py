@@ -131,8 +131,12 @@ _SCRATCH_BUDGET = 83 * 2 ** 20
 # be row-sliced (stencil.set_i edge_slice off), so e.g. tke(Bi=16,1s,1s)
 # at the config-5 per-chip tile (1024x512x41) measures 117.95 MiB scoped
 # demand where the plain variant fits 110 (probed on-chip, round 5); at
-# 120 the same plan compiles and runs on both.
+# 120 the same plan compiles and runs on both.  The plain variant keeps
+# requesting 110 (a higher limit relaxes Mosaic's scheduling pressure
+# for no benefit on kernels that fit); VMEM_LIMIT is the ceiling the
+# scoped-demand plan filter sizes against.
 VMEM_LIMIT = 120 * 2 ** 20
+VMEM_LIMIT_PLAIN = 110 * 2 ** 20
 
 
 def phase_counts(cfg: Config, phase: str):
@@ -504,7 +508,8 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+            pltpu.CompilerParams(vmem_limit_bytes=(
+                VMEM_LIMIT if has_off else VMEM_LIMIT_PLAIN))
             if (_HAVE_PLTPU and not interpret) else None),
     )(*win_in, *rep_in, *extra_in)
     return outs

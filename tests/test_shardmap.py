@@ -151,24 +151,26 @@ def test_shardmap_orlanski_scheme():
     _compare(ref.state, st)
 
 
-def test_shardmap_windowed_chunk_body():
+@pytest.mark.parametrize("px,py", [(2, 4), (1, 8)])
+def test_shardmap_windowed_chunk_body(px, py):
     """The striped window kernel as the chunk body (round 5:
     pallas.extwin.run_external_chunk_windowed — the plain path's
     large-grid external machine composed with the mesh, serving local
     blocks too big for the whole-block VMEM chunk kernel).  Forced via
     pallas_extwin='on' (+ pallas_ext='off' so the VMEM body stands
     aside); interpret mode on the CPU mesh; must match the single-device
-    oracle bit-for-bit at the shardmap gate."""
+    oracle bit-for-bit at the shardmap gate.  (1, 8): y-only split —
+    no x ring, windows stripe the un-split row extent."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     kw = dict(im=32, jm=64, kb=7)
-    ref = _run_ref(**kw)
+    ref = _run_ref(n=2, **kw)
     m = seamount_model(dtype="float64", donate=False,
                        pallas_ext="off", pallas_extwin="on", **kw)
     from extpom_tpu.mesh.extchunk import chunk_plan
     from extpom_tpu.ops.stencil import DomainCtx
-    ctx = DomainCtx(im=32, jm=64, axis_x="x", axis_y="y", px=2, py=4)
-    plan = chunk_plan(m.cfg, ctx, 16, 16)
+    ctx = DomainCtx(im=32, jm=64, axis_x="x", axis_y="y", px=px, py=py)
+    plan = chunk_plan(m.cfg, ctx, 32 // px, 64 // py)
     assert plan[6], f"win body must dispatch here, got {plan}"
-    st = _run_shardmap(m, make_mesh(2, 4))
+    st = _run_shardmap(m, make_mesh(px, py), n=2)
     _compare(ref.state, st)
