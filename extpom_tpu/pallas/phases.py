@@ -232,6 +232,21 @@ def plan_from_counts(cfg: Config, counts, rows: int = 0,
     return best
 
 
+def scoped_demand(cfg: Config, counts, plan: PhasePlan, lanes: int = 0,
+                  t31: float = _T31_DEFAULT) -> int:
+    """Modeled scoped-vmem demand (bytes) of one phase kernel at
+    ``plan`` — windows plus the kb-scaled live-temporary charge (the
+    same formula the plan filter walks against)."""
+    n3i, n2i, n3o, n2o = counts[:4]
+    row3 = max((lanes or cfg.jm) * cfg.kb * 4, 1)
+    row2 = max((lanes or cfg.jm) * 4, 1)
+    si = 2 if plan.in2 else 1
+    so = 2 if plan.out2 else 1
+    win_row = (n3i * si + n3o * so) * row3 + (n2i * si + n2o * so) * row2
+    temp_row = t31 * (cfg.kb / 31.0) * row3
+    return int((plan.bi + 2 * cfg.phase_halo) * (win_row + temp_row))
+
+
 def phase_plan(cfg: Config, phase: str, rows: int = 0,
                lanes: int = 0) -> PhasePlan:
     """Per-phase window geometry from the static operand table."""
@@ -408,7 +423,8 @@ def _kernel(im: int, Bi: int, H: int, n_win: int, n_rep: int, n_out: int,
 def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
                    out_templates: Sequence, interpret: bool = False,
                    rows: int = 0, lanes: int = 0, off=None,
-                   plan: Optional[PhasePlan] = None):
+                   plan: Optional[PhasePlan] = None,
+                   vmem_limit: int = 0):
     """Run ``body`` over halo-windowed i-stripes.
 
     ``arrays``: phase operands; fields with an i axis ((.., im, jm) or
@@ -509,7 +525,7 @@ def windowed_phase(cfg: Config, body: Callable, arrays: Sequence,
         interpret=interpret,
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=(
-                VMEM_LIMIT if has_off else VMEM_LIMIT_PLAIN))
+                vmem_limit or VMEM_LIMIT_PLAIN))
             if (_HAVE_PLTPU and not interpret) else None),
     )(*win_in, *rep_in, *extra_in)
     return outs
@@ -605,6 +621,12 @@ class runner:
 
     # -- overridable preparation hooks (mesh_runner ring-extends) ----------
 
+    def _vmem_limit(self, demand: int) -> int:
+        """Plain kernels are chip-validated at the 110 MiB limit at every
+        dispatching geometry (the model overcharges them: it is
+        calibrated on the heavier mesh variant)."""
+        return VMEM_LIMIT_PLAIN
+
     def _garrs(self) -> List:
         return _grid_arrays(self.grid)
 
@@ -622,9 +644,9 @@ class runner:
 
     # -- shared plumbing ---------------------------------------------------
 
-    def _exact_plan(self, phase: str, fc_fields, fc_iseries, arrays,
-                    n_out3, n_out2) -> PhasePlan:
-        """Window geometry from the EXACT operand set about to be
+    def _exact_counts(self, fc_fields, fc_iseries, arrays, n_out3,
+                      n_out2):
+        """Exact windowed-operand counts of the operand set about to be
         assembled (the static :func:`phase_counts` table serves the
         dispatch predicates; counting the real arrays cannot lag a
         scheme variation).  Counted on the pre-extension shapes so no
@@ -639,8 +661,15 @@ class runner:
             if a.ndim >= 2 and a.shape[-2:] == (self.ni, self.nj):
                 n3, n2 = (n3 + 1, n2) if a.ndim >= 3 else (n3, n2 + 1)
         n3 += len(fc_iseries)       # lane-broadcast to 3-D windows
+        return n3, n2, n_out3, n_out2
+
+    def _exact_plan(self, phase: str, fc_fields, fc_iseries, arrays,
+                    n_out3, n_out2) -> PhasePlan:
+        """Window geometry from the exact operand set."""
+        counts = self._exact_counts(fc_fields, fc_iseries, arrays,
+                                    n_out3, n_out2)
         return plan_from_counts(
-            self.cfg, (n3, n2, n_out3, n_out2, _PHASE_TMP3[phase]),
+            self.cfg, counts + (_PHASE_TMP3[phase],),
             rows=self.rows, lanes=self.lanes,
             t31=_PHASE_T31.get(phase, _T31_DEFAULT))
 
@@ -658,6 +687,16 @@ class runner:
                                 n_out3, n_out2)
         if plan.bi < 8 or not _aligned(cfg, self.rows, self.lanes):
             return fallback()
+        # request the higher scoped-vmem limit ONLY where the modeled
+        # demand needs it (the mesh variant at kb=41-class tiles): an
+        # inflated limit measurably relaxes Mosaic's scheduling on
+        # kernels that fit 110 (256^2 shardmap ratio 0.888 -> 0.9 class)
+        demand = scoped_demand(
+            cfg, self._exact_counts(fc_fields, fc_iseries, arrays,
+                                    n_out3, n_out2),
+            plan, lanes=self.lanes,
+            t31=_PHASE_T31.get(phase, _T31_DEFAULT))
+        limit = self._vmem_limit(demand)
         dt_ = arrays[0].dtype
         kb = cfg.kb
         garrs = self._garrs()
@@ -686,7 +725,7 @@ class runner:
         outs = [t3] * n_out3 + [t2] * n_out2
         return self._post(windowed_phase(cfg, body, all_in, outs,
                                          interpret=self.interpret,
-                                         plan=plan,
+                                         plan=plan, vmem_limit=limit,
                                          **self._wp_kwargs()))
 
     # -- phases ------------------------------------------------------------
@@ -885,6 +924,12 @@ class mesh_runner(runner):
         self.lanes = self.nj + 2 * self.hy
 
     # -- ring plumbing -----------------------------------------------------
+
+    def _vmem_limit(self, demand: int) -> int:
+        # the ring-extended variant genuinely exceeds 110 MiB at
+        # kb=41-class tiles (117.95 MiB measured, see VMEM_LIMIT note)
+        return (VMEM_LIMIT if demand > VMEM_LIMIT_PLAIN - _SCOPED_MARGIN
+                else VMEM_LIMIT_PLAIN)
 
     def _ring(self, a, fill: float = 0.0):
         from extpom_tpu.mesh.extchunk import _ring_extend

@@ -88,6 +88,7 @@ def main():
 
     if args.vmem:
         phases.VMEM_LIMIT = args.vmem * 2 ** 20
+        phases.VMEM_LIMIT_PLAIN = args.vmem * 2 ** 20
     if args.phase is None:
         cfg = Config(im=args.size, jm=args.jm or args.size, kb=args.kb,
                      phase_block=args.block)
