@@ -175,6 +175,17 @@ class Config:
     # path, and the standalone kernel measured as a net loss (r2
     # regression; see pallas/tridiag.py).
     pallas_tridiag: str = "auto"
+    # Trivial 1x1 shard_map meshes: the local block IS the whole domain,
+    # so the explicit local-ctx machinery (traced block offsets in every
+    # region mask, O(volume) full-field edge writes, the ring-extended
+    # mesh variants of the Pallas kernels) buys nothing — it is the
+    # analogue of exchange2d_mpi degenerating to no-op sends at
+    # n_proc=1 (parallel_mpi.f:154-351).  "auto" (default) runs the
+    # single-device global machine inside the shard_map body at a 1x1
+    # mesh (bitwise-identical results; removes the measured ~10 %
+    # shard_map(1x1) tax); "local" keeps the explicit machinery (used by
+    # tools/meshbench.py to price the mesh-variant overhead on one chip).
+    trivial_shardmap: str = "auto"
     ext_halo_sub: int = 3      # halo cells consumed per substep (rho).
                                # The substep's true carry-stencil radius is
                                # 2 (flux->elf radius 1; advave/uaf chains
@@ -253,6 +264,9 @@ class Config:
             raise ValueError(f"invalid Jerlov water type ntp={self.ntp}")
         if self.bc_scheme not in ("extpom", "file", "orlanski"):
             raise ValueError(f"invalid bc_scheme {self.bc_scheme}")
+        if self.trivial_shardmap not in ("auto", "local"):
+            raise ValueError(
+                f"invalid trivial_shardmap {self.trivial_shardmap}")
         if self.kb < 3 or self.im < 5 or self.jm < 5:
             raise ValueError("domain too small")
         if self.im_act is not None and not 5 <= self.im_act <= self.im:

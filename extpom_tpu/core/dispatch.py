@@ -37,6 +37,15 @@ def dispatch_report(cfg: Config, px: int = 1, py: int = 1,
     rep: dict = {"mesh": {"px": px, "py": py,
                           "mode": mode or "single-device"}}
 
+    if (mode == "shardmap" and px == 1 and py == 1
+            and cfg.trivial_shardmap == "auto"):
+        # trivial 1x1 mesh: the shard_map body runs the global machine
+        # (mesh.shardmap._local_ctx) — report the single-device decisions
+        rep = dispatch_report(cfg, px=1, py=1, mode=None)
+        rep["mesh"] = {"px": 1, "py": 1,
+                       "mode": "shardmap (trivial 1x1 -> global machine)"}
+        return rep
+
     if mode == "shardmap":
         # local-block decisions (the blessed production path); ceil-div
         # approximates the padded local tile of non-divisible grids

@@ -71,6 +71,32 @@ def _spec_tree(obj, im, jm, px, py):
                   for f in dataclasses.fields(cls)})
 
 
+def _local_ctx(cfg: Config, px: int, py: int, ni: int, nj: int):
+    """DomainCtx for the shard_map body.
+
+    At a TRIVIAL 1x1 mesh (``cfg.trivial_shardmap="auto"``, the default)
+    the local block is the whole domain, so the body runs the plain
+    global machine — no traced block offsets in the region masks, row-
+    sliced O(edge) boundary writes, and the single-device Pallas fast
+    paths dispatch instead of their ring-extended mesh variants.  This is
+    the analogue of the reference's communication layer degenerating to
+    no-op sends at one process (parallel_mpi.f:154-351); results are
+    identical (tests/test_shardmap.py covers both settings).
+    ``trivial_shardmap="local"`` keeps the explicit machinery so
+    tools/meshbench.py can price the mesh-variant overhead on one chip.
+    """
+    if px == 1 and py == 1 and cfg.trivial_shardmap == "auto":
+        if (cfg.im_act or cfg.im) == cfg.im and (cfg.jm_act or cfg.jm) == cfg.jm:
+            return None
+        return stencil.DomainCtx(im=cfg.im_act or cfg.im,
+                                 jm=cfg.jm_act or cfg.jm)
+    return stencil.DomainCtx(
+        im=cfg.im_act or cfg.im, jm=cfg.jm_act or cfg.jm,
+        axis_x="x", axis_y="y", px=px, py=py,
+        off_i=lax.axis_index("x") * ni,
+        off_j=lax.axis_index("y") * nj)
+
+
 def make_shardmap_step(mesh: Mesh, grid: Grid, cfg: Config,
                        fc_example: Forcing, donate: bool = False):
     """Build a jitted shard_map step function.
@@ -94,12 +120,7 @@ def make_shardmap_step(mesh: Mesh, grid: Grid, cfg: Config,
     r3 = P(None, "x" if px > 1 else None, "y" if py > 1 else None)
 
     def local_step(grid_l, st_l, fc_l, rmean_l, tclim_l, sclim_l, first):
-        ctx = stencil.DomainCtx(
-            im=cfg.im_act or im, jm=cfg.jm_act or jm,
-            axis_x="x", axis_y="y", px=px, py=py,
-            off_i=lax.axis_index("x") * ni,
-            off_j=lax.axis_index("y") * nj)
-        with stencil.domain(ctx):
+        with stencil.domain(_local_ctx(cfg, px, py, ni, nj)):
             return stepper._step(grid_l, cfg, st_l, fc_l, rmean_l,
                                  tclim_l, sclim_l, first=first)
 
@@ -218,12 +239,7 @@ def make_shardmap_run(mesh: Mesh, grid: Grid, cfg: Config,
 
             def local_run(grid_l, st_l, fc_l, rmean_l, tclim_l, sclim_l,
                           iint0_l, plan_l):
-                ctx = stencil.DomainCtx(
-                    im=cfg.im_act or im, jm=cfg.jm_act or jm,
-                    axis_x="x", axis_y="y", px=px, py=py,
-                    off_i=lax.axis_index("x") * ni,
-                    off_j=lax.axis_index("y") * nj)
-                with stencil.domain(ctx):
+                with stencil.domain(_local_ctx(cfg, px, py, ni, nj)):
                     return stepper.run_steps(
                         grid_l, cfg, st_l, fc_l, rmean_l, tclim_l,
                         sclim_l, iint0_l, int(n_steps), period_days,

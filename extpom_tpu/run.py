@@ -14,12 +14,17 @@ Config schema (all keys optional unless noted)::
       "case_args": {"im": 65, "jm": 49},     # ... and its arguments
       "grid": "in/grid.zarr",                # or: dataset paths
       "init": "in/init.zarr",
+      #   (grid/init paths ending in .nc open through the NetCDF-3
+      #    bridge, io/netcdf.py — the reference's own input format)
       "sfrc": "in/sfrc.zarr",                # surface forcing series
       "lbry": "in/lbry.zarr",                # lateral boundary series
       #   (sfrc/lbry accept a Zarr dataset dir OR a dir of .efr files,
       #    which open through the native record store, native/recordio)
       "config": {"mode": 3, "dte": 6.0, "days": 1.0, ...},
       "out_dir": "out",
+      "out_format": "zarr" | "nc",           # snapshot format (default
+      #   zarr; "nc" writes reference-layout NetCDF files via
+      #   io/netcdf.py — restart checkpoints stay Zarr, bit-seamless)
       "nread_rst": 0, "read_rst_path": "out/run.rst.0003",
       "cont_bry": 0,
       # -- parallel execution (distribute_mpi analogue) --
@@ -81,8 +86,20 @@ def build_model(conf: dict):
                                            **cfg_kw)
     elif "grid" in conf:
         cfg = Config(**cfg_kw)
-        grid = zio.read_grid(conf["grid"], cfg)
-        tb, sb, tclim, sclim = zio.read_initial_ts(conf["init"])
+        # format sniff: .nc files open through the NetCDF-3 bridge (the
+        # reference's own input format, read_grid_pnetcdf /
+        # read_initial_ts_pnetcdf, io_pnetcdf.F:2084-2264, 2771-2844),
+        # anything else as a Zarr dataset directory
+        if conf["grid"].endswith(".nc"):
+            from extpom_tpu.io import netcdf as ncio
+            grid = ncio.read_grid_nc(conf["grid"], cfg)
+        else:
+            grid = zio.read_grid(conf["grid"], cfg)
+        if conf["init"].endswith(".nc"):
+            from extpom_tpu.io import netcdf as ncio
+            tb, sb, tclim, sclim = ncio.read_initial_ts_nc(conf["init"])
+        else:
+            tb, sb, tclim, sclim = zio.read_initial_ts(conf["init"])
         ics = dict(tb=tb, sb=sb, tclim=tclim, sclim=sclim,
                    elb=None, uab=None, vab=None)
         src = None
@@ -240,9 +257,23 @@ def main(argv=None):
                    f"taver = {s['taver']:.7e}  saver = {s['saver']:.7e}")
             n_out += 1
             extra = {"wr": m.compute_wr()} if cfg.calc_wr else None
-            submit(zio.write_output,
-                   os.path.join(out_dir, f"{run}.{m.iint:06d}"),
-                   m.grid, cfg, m.state, m.time_days, s, extra=extra)
+            if conf.get("out_format", "zarr") == "nc":
+                # single-process only: the NetCDF-3 writer fetches whole
+                # arrays (no cooperative shard writes — use zarr +
+                # io.netcdf CLI conversion for multi-process runs)
+                if jax.process_count() > 1:
+                    raise RuntimeError(
+                        "out_format='nc' is single-process only; write "
+                        "zarr and convert via python -m extpom_tpu.io."
+                        "netcdf")
+                from extpom_tpu.io.netcdf import write_output_nc
+                submit(write_output_nc,
+                       os.path.join(out_dir, f"{run}.{m.iint:06d}.nc"),
+                       m.grid, cfg, m.state, m.time_days, s, extra=extra)
+            else:
+                submit(zio.write_output,
+                       os.path.join(out_dir, f"{run}.{m.iint:06d}"),
+                       m.grid, cfg, m.state, m.time_days, s, extra=extra)
         if m.iint % cfg.irestart == 0:
             submit(zio.write_restart,
                    os.path.join(out_dir, f"{run}.rst.{m.iint:06d}"),

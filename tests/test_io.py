@@ -68,3 +68,117 @@ def test_zarr_forcing_source(tmp_path):
     t_days = cfg.dti * iint / 86400.0
     np.testing.assert_allclose(np.asarray(fc.wusurf)[0, 0],
                                t_days / 0.125, rtol=1e-6)
+
+
+def test_netcdf_output_bridge(tmp_path):
+    """NetCDF-3 snapshot bridge (io/netcdf.py): write_output_nc and the
+    zarr->nc converter must carry the reference's variable names,
+    (time, z, y, x) dimension order and scalar diagnostics
+    (write_output_pnetcdf, io_pnetcdf.F:57-410), bit-equal to the
+    in-memory fields."""
+    from scipy.io import netcdf_file
+    from extpom_tpu.cases.seamount import seamount_model
+    from extpom_tpu.diag import stats as diag_stats
+    from extpom_tpu.io import netcdf as ncio
+
+    m = seamount_model(im=17, jm=17, kb=7, donate=False, dtype="float64")
+    m.step_once()
+    s = {k: float(v) for k, v in
+         diag_stats.domain_stats(m.grid, m.cfg, m.state).items()}
+
+    # direct writer
+    nc1 = str(tmp_path / "snap.nc")
+    ncio.write_output_nc(nc1, m.grid, m.cfg, m.state, 0.25, stats=s)
+    f = netcdf_file(nc1, "r", mmap=False)
+    try:
+        assert f.variables["t"].dimensions == ("time", "z", "y", "x")
+        assert f.variables["elb"].dimensions == ("time", "y", "x")
+        np.testing.assert_array_equal(
+            np.asarray(f.variables["t"][0]).swapaxes(-1, -2),
+            np.asarray(m.state.t))
+        np.testing.assert_array_equal(
+            np.asarray(f.variables["h"][...]).swapaxes(-1, -2),
+            np.asarray(m.grid.h))
+        assert float(f.variables["time"][0]) == 0.25
+        # reference scalar names (tavg/savg/eavg, io_pnetcdf.F:84-90)
+        np.testing.assert_allclose(float(f.variables["tavg"][0]),
+                                   s["taver"])
+        np.testing.assert_allclose(float(f.variables["ekin"][0]),
+                                   s["ekin"])
+    finally:
+        f.close()
+
+    # zarr -> nc conversion matches the direct writer's payload
+    zdir = str(tmp_path / "snap.zarr")
+    zio.write_output(zdir, m.grid, m.cfg, m.state, 0.25, s)
+    nc2 = str(tmp_path / "snap2.nc")
+    ncio.zarr_output_to_nc(zdir, nc2)
+    g = netcdf_file(nc2, "r", mmap=False)
+    try:
+        np.testing.assert_array_equal(
+            np.asarray(g.variables["u"][0]).swapaxes(-1, -2),
+            np.asarray(m.state.u))
+        np.testing.assert_allclose(float(g.variables["savg"][0]),
+                                   s["saver"])
+    finally:
+        g.close()
+
+
+def test_netcdf_grid_init_readers(tmp_path):
+    """read_grid_nc / read_initial_ts_nc accept reference-format input
+    files (read_grid_pnetcdf io_pnetcdf.F:2084-2264 ROMS-style names;
+    read_initial_ts_pnetcdf :2771-2844 T/S) and reproduce the
+    Zarr-loaded model exactly."""
+    from scipy.io import netcdf_file
+    from extpom_tpu.cases.seamount import seamount_case
+    from extpom_tpu.io import netcdf as ncio
+
+    cfg, grid, ics = seamount_case(im=17, jm=17, kb=7, dtype="float64")
+
+    # build a reference-style grid file (Fortran var(x,y) -> C (y,x))
+    ncg = str(tmp_path / "grid.nc")
+    f = netcdf_file(ncg, "w", version=2)
+    f.createDimension("z", cfg.kb)
+    f.createDimension("y", cfg.jm)
+    f.createDimension("x", cfg.im)
+    for name, arr, dims in (
+            ("z", grid.z, ("z",)), ("zz", grid.zz, ("z",)),
+            ("dx", grid.dx, ("y", "x")), ("dy", grid.dy, ("y", "x")),
+            ("lon_rho", grid.east_e, ("y", "x")),
+            ("lat_rho", grid.north_e, ("y", "x")),
+            ("angle", grid.rot, ("y", "x")),
+            ("h", grid.h, ("y", "x")), ("fsm", grid.fsm, ("y", "x"))):
+        a = np.asarray(arr)
+        if len(dims) == 2:
+            a = a.swapaxes(-1, -2)
+        v = f.createVariable(name, a.dtype.newbyteorder("="), dims)
+        v[...] = a
+    f.close()
+
+    g2 = ncio.read_grid_nc(ncg, cfg)
+    # cor is excluded: seamount_case builds an f-plane cor while
+    # make_grid re-derives 2*Omega*sin(lat) from the (varying) north_e —
+    # both valid; the file reader matches the zarr reader's derivation
+    for name in ("h", "fsm", "dum", "dvm", "art", "cbc",
+                 "east_e", "rot", "dz"):
+        np.testing.assert_array_equal(np.asarray(getattr(grid, name)),
+                                      np.asarray(getattr(g2, name)),
+                                      err_msg=name)
+
+    # reference-style init file: T/S shaped (z, y, x)
+    nci = str(tmp_path / "init.nc")
+    f = netcdf_file(nci, "w", version=2)
+    f.createDimension("z", cfg.kb)
+    f.createDimension("y", cfg.jm)
+    f.createDimension("x", cfg.im)
+    for name, arr in (("T", ics["tb"]), ("S", ics["sb"])):
+        a = np.asarray(arr).swapaxes(-1, -2)
+        v = f.createVariable(name, a.dtype.newbyteorder("="),
+                             ("z", "y", "x"))
+        v[...] = a
+    f.close()
+
+    tb, sb, tclim, sclim = ncio.read_initial_ts_nc(nci)
+    np.testing.assert_array_equal(tb, np.asarray(ics["tb"]))
+    np.testing.assert_array_equal(sb, np.asarray(ics["sb"]))
+    np.testing.assert_array_equal(tclim, np.asarray(ics["tb"]))

@@ -117,3 +117,81 @@ def test_cli_native_efr_matches_zarr(tmp_path):
         tol = 1e-13 * max(1.0, float(np.abs(a[v]).max()))
         np.testing.assert_allclose(a[v], b[v], rtol=0, atol=tol,
                                    err_msg=v)
+
+
+@pytest.mark.skipif(not zio.HAVE_TS, reason="tensorstore unavailable")
+def test_cli_netcdf_inputs_and_output(tmp_path):
+    """The CLI's NetCDF surface: .nc grid/init inputs open through the
+    bridge (the reference's own input format, io_pnetcdf.F:2084-2264,
+    2771-2844) and out_format='nc' writes reference-layout snapshots —
+    the run must land bit-identical to the Zarr-driven run."""
+    from scipy.io import netcdf_file
+    from extpom_tpu.cases.seamount import seamount_case
+    from extpom_tpu.io import netcdf as ncio
+
+    cfg, grid, ics = seamount_case(im=17, jm=17, kb=7, dtype="float64")
+
+    # write grid/init once as .nc (reference-style names for the grid)
+    ncg, nci = str(tmp_path / "grid.nc"), str(tmp_path / "init.nc")
+    f = netcdf_file(ncg, "w", version=2)
+    f.createDimension("z", cfg.kb)
+    f.createDimension("y", cfg.jm)
+    f.createDimension("x", cfg.im)
+    for name, arr, dims in (
+            ("z", grid.z, ("z",)), ("zz", grid.zz, ("z",)),
+            ("dx", grid.dx, ("y", "x")), ("dy", grid.dy, ("y", "x")),
+            ("lon_rho", grid.east_e, ("y", "x")),
+            ("lat_rho", grid.north_e, ("y", "x")),
+            ("angle", grid.rot, ("y", "x")),
+            ("h", grid.h, ("y", "x")), ("fsm", grid.fsm, ("y", "x"))):
+        a = np.asarray(arr)
+        if len(dims) == 2:
+            a = a.swapaxes(-1, -2)
+        f.createVariable(name, a.dtype.newbyteorder("="), dims)[...] = a
+    f.close()
+    f = netcdf_file(nci, "w", version=2)
+    f.createDimension("z", cfg.kb)
+    f.createDimension("y", cfg.jm)
+    f.createDimension("x", cfg.im)
+    for name, arr in (("T", ics["tb"]), ("S", ics["sb"])):
+        a = np.asarray(arr).swapaxes(-1, -2)
+        f.createVariable(name, a.dtype.newbyteorder("="),
+                         ("z", "y", "x"))[...] = a
+    f.close()
+
+    # nc-driven run with nc snapshots
+    conf = {
+        "run_name": "nc",
+        "grid": ncg, "init": nci,
+        "config": {"im": 17, "jm": 17, "kb": 7, "days": 0.005,
+                   "prtd1": 0.003, "dtype": "float64"},
+        "out_dir": str(tmp_path / "out_nc"),
+        "out_format": "nc",
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    assert main([str(cpath)]) == 0
+    snaps = sorted(o for o in os.listdir(tmp_path / "out_nc")
+                   if o.endswith(".nc"))
+    assert snaps, "no NetCDF snapshots written"
+
+    # same run zarr-driven; final snapshots must agree bit-for-bit
+    zio.write_grid(str(tmp_path / "grid"), grid)
+    zio.write_initial_ts(str(tmp_path / "init"), ics["tb"], ics["sb"])
+    conf2 = dict(conf, run_name="zr", grid=str(tmp_path / "grid"),
+                 init=str(tmp_path / "init"),
+                 out_dir=str(tmp_path / "out_zr"))
+    conf2.pop("out_format")
+    cpath.write_text(json.dumps(conf2))
+    assert main([str(cpath)]) == 0
+    zsnaps = sorted(o for o in os.listdir(tmp_path / "out_zr")
+                    if o.startswith("zr.0"))
+    f = netcdf_file(str(tmp_path / "out_nc" / snaps[-1]), "r", mmap=False)
+    try:
+        zdata = zio.read_output(str(tmp_path / "out_zr" / zsnaps[-1]))
+        for name in ("t", "s", "u", "elb"):
+            a = np.asarray(f.variables[name][0])
+            b = np.asarray(zdata[name]).swapaxes(-1, -2)
+            np.testing.assert_array_equal(a, b, err_msg=name)
+    finally:
+        f.close()

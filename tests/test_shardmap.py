@@ -174,3 +174,30 @@ def test_shardmap_windowed_chunk_body(px, py):
     assert plan[6], f"win body must dispatch here, got {plan}"
     st = _run_shardmap(m, make_mesh(px, py), n=2)
     _compare(ref.state, st)
+
+
+def test_shardmap_trivial_1x1_dispatch():
+    """At a 1x1 mesh the shard_map body dispatches the GLOBAL machine by
+    default (trivial_shardmap='auto': the local block is the whole
+    domain, so the traced-offset masks / O(volume) edge writes / mesh
+    kernel variants are pure overhead — the n_proc=1 degenerate case of
+    exchange2d_mpi, parallel_mpi.f:154-351).  Both settings must match
+    the plain single-device run exactly."""
+    kw = dict(im=32, jm=64, kb=7)
+    ref = _run_ref(**kw)
+    # auto (default): global machine inside the shard_map body
+    m1 = seamount_model(dtype="float64", donate=False, **kw)
+    st_auto = _run_shardmap(m1, make_mesh(1, 1))
+    _compare(ref.state, st_auto)
+    # local (the meshbench measurement mode): explicit local-ctx machinery
+    m2 = seamount_model(dtype="float64", donate=False,
+                        trivial_shardmap="local", **kw)
+    st_local = _run_shardmap(m2, make_mesh(1, 1))
+    _compare(ref.state, st_local)
+
+    # the dispatch echo reflects the specialization
+    from extpom_tpu.core.dispatch import dispatch_report
+    rep = dispatch_report(m1.cfg, px=1, py=1, mode="shardmap")
+    assert "global machine" in rep["mesh"]["mode"]
+    rep_l = dispatch_report(m2.cfg, px=1, py=1, mode="shardmap")
+    assert rep_l["mesh"]["mode"] == "shardmap"

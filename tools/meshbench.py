@@ -32,11 +32,16 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure(im, jm, kb, n, mesh_mode):
+def measure(im, jm, kb, n, mesh_mode, trivial="local"):
     from extpom_tpu.cases.seamount import seamount_model
     from extpom_tpu.mesh.sharding import make_mesh
 
-    m = seamount_model(im=im, jm=jm, kb=kb, donate=False)
+    # trivial_shardmap="local" keeps the explicit local-ctx machinery at
+    # the 1x1 mesh — this tool's purpose is to price the mesh-variant
+    # overhead on one chip; the production default ("auto") dispatches
+    # the global machine at 1x1 and measures ~1.0 by construction
+    m = seamount_model(im=im, jm=jm, kb=kb, donate=False,
+                       trivial_shardmap=trivial)
     if mesh_mode:
         m.shard(make_mesh(1, 1), mode=mesh_mode)
     m.run_segment(n)
@@ -57,6 +62,10 @@ def main():
     ap.add_argument("--kb", type=int, default=31)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--modes", default="plain,shardmap")
+    ap.add_argument("--trivial", default="local", choices=("local", "auto"),
+                    help="trivial_shardmap setting for the 1x1 mesh "
+                         "(local = price the explicit machinery, the "
+                         "tool's default; auto = production dispatch)")
     args = ap.parse_args()
     jm = args.jm or args.im
 
@@ -65,10 +74,12 @@ def main():
     rows = {}
     for name in args.modes.split(","):
         mode = None if name == "plain" else name
-        rep = dispatch_report(Config(im=args.im, jm=jm, kb=args.kb),
-                              mode=mode)
+        rep = dispatch_report(
+            Config(im=args.im, jm=jm, kb=args.kb,
+                   trivial_shardmap=args.trivial), mode=mode)
         print(f"{name} dispatch:\n{format_report(rep)}", flush=True)
-        gps, spstep = measure(args.im, jm, args.kb, args.steps, mode)
+        gps, spstep = measure(args.im, jm, args.kb, args.steps, mode,
+                              trivial=args.trivial)
         rows[name] = dict(gps=gps, ms_per_step=spstep * 1e3)
         print(f"{name:9s}: {gps/1e6:8.1f} Mpt-steps/s "
               f"({spstep*1e3:.2f} ms/step)", flush=True)
