@@ -244,6 +244,93 @@ def read_initial_ts_nc(path: str):
             sb if sclim is None else sclim)
 
 
+class NcForcingSource:
+    """Forcing record source over one NetCDF-3 file — the reference's
+    surface/lateral series readers (read_wind/read_heat/read_surface/
+    read_water/read_boundary_conditions, io_pnetcdf.F:2912-3622) for
+    users bringing reference-format ``.sfrc.nc`` / ``.lbry.nc`` files.
+
+    Protocol matches ZarrSource / NativeRecordSource: ``names()`` /
+    ``nrec(name)`` / ``read(name, n)`` (record index clamped).  Record
+    variables are those with a leading ``time`` dimension; axis order is
+    resolved from the variable's DIMENSION NAMES — a record whose
+    trailing dims are ``(.., y, x)`` (the Fortran writer's layout) is
+    transposed to this framework's ``(.., im, jm)``, per-side boundary
+    series (``(time, y)`` / ``(time, z, y)`` etc.) pass through.
+
+    The whole file is loaded at open (scipy, mmap off): simple and safe
+    under the provider's prefetch thread.  For series too large for
+    host RAM use the native EFR record store (native/recordio) or Zarr.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        f = netcdf_file(path, "r", mmap=False)
+        try:
+            self._data: Dict[str, np.ndarray] = {}
+            for name, v in f.variables.items():
+                dims = v.dimensions
+                if not dims or dims[0] != "time" or name == "time":
+                    continue
+                a = np.asarray(v[...])
+                if len(dims) >= 3 and dims[-2:] == ("y", "x"):
+                    a = np.swapaxes(a, -1, -2)
+                self._data[name] = a
+        finally:
+            f.close()
+
+    def names(self):
+        return list(self._data)
+
+    def nrec(self, name: str) -> int:
+        return self._data[name].shape[0]
+
+    def read(self, name: str, n: int) -> np.ndarray:
+        a = self._data[name]
+        return a[min(max(n, 0), a.shape[0] - 1)]
+
+
+def write_forcing_series_nc(path: str, data: Dict[str, np.ndarray],
+                            im: int, jm: int, kb: int = 0) -> None:
+    """Write a forcing series file consumable by :class:`NcForcingSource`
+    (and by reference-style tooling): every array gets a leading
+    ``time`` record dim; full fields ``(nrec, im, jm)`` are stored as
+    ``(time, y, x)``, per-side series pass through with anonymous
+    dims."""
+    f = netcdf_file(path, "w", version=2)
+    try:
+        f.createDimension("time", None)
+        f.createDimension("y", jm)
+        f.createDimension("x", im)
+        if kb:
+            f.createDimension("z", kb)
+        extra = 0
+        for name, arr in data.items():
+            a = np.asarray(arr)
+            rec = a.shape[1:]
+            if rec == (im, jm):
+                dims = ("time", "y", "x")
+                a = np.swapaxes(a, -1, -2)
+            elif len(rec) == 2 and kb and rec[0] == kb:
+                n = f"n{extra}"
+                f.createDimension(n, rec[1])
+                extra += 1
+                dims = ("time", "z", n)
+            else:
+                ds = []
+                for s in rec:
+                    n = f"n{extra}"
+                    f.createDimension(n, s)
+                    extra += 1
+                    ds.append(n)
+                dims = ("time",) + tuple(ds)
+            v = f.createVariable(name, a.dtype.newbyteorder("="), dims)
+            for r in range(a.shape[0]):
+                v[r] = a[r]
+    finally:
+        f.close()
+
+
 def main(argv=None) -> int:
     import sys
     argv = sys.argv[1:] if argv is None else argv

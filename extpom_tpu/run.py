@@ -18,8 +18,9 @@ Config schema (all keys optional unless noted)::
       #    bridge, io/netcdf.py — the reference's own input format)
       "sfrc": "in/sfrc.zarr",                # surface forcing series
       "lbry": "in/lbry.zarr",                # lateral boundary series
-      #   (sfrc/lbry accept a Zarr dataset dir OR a dir of .efr files,
-      #    which open through the native record store, native/recordio)
+      #   (sfrc/lbry accept a Zarr dataset dir, a dir of .efr files —
+      #    opened through the native record store, native/recordio —
+      #    or a reference-format .nc series file, io/netcdf.py)
       "config": {"mode": 3, "dte": 6.0, "days": 1.0, ...},
       "out_dir": "out",
       "out_format": "zarr" | "nc",           # snapshot format (default
@@ -57,6 +58,11 @@ def _open_source(path: str):
     readers, bounds_forcing.f:871-960, as a native component); anything
     else opens as a Zarr dataset."""
     from extpom_tpu.io import zarrstore as zio
+    if path.endswith(".nc"):
+        # reference-format NetCDF series file (the .sfrc.nc/.lbry.nc
+        # readers, io_pnetcdf.F:2912-3622)
+        from extpom_tpu.io.netcdf import NcForcingSource
+        return NcForcingSource(path)
     if (os.path.isdir(path)
             and any(fn.endswith(".efr") for fn in os.listdir(path))):
         from extpom_tpu.native import recordio

@@ -195,3 +195,62 @@ def test_cli_netcdf_inputs_and_output(tmp_path):
             np.testing.assert_array_equal(a, b, err_msg=name)
     finally:
         f.close()
+
+
+def test_cli_nc_forcing_matches_zarr(tmp_path):
+    """The same forced run driven from a reference-format NetCDF series
+    file (sniffed by _open_source -> io.netcdf.NcForcingSource, the
+    .sfrc.nc readers io_pnetcdf.F:2912-3622) must serve bitwise-equal
+    records and land within CPU-recompile ULP noise of the Zarr run
+    (same tolerance rationale as the EFR test above)."""
+    from extpom_tpu.io import netcdf as ncio
+
+    im = jm = 17
+    kb = 7
+    rng = np.random.default_rng(11)
+    nrec = 4
+    series = {
+        "wusurf": 1e-4 * rng.standard_normal((nrec, im, jm)),
+        "wvsurf": 1e-4 * rng.standard_normal((nrec, im, jm)),
+        # a per-side 3-D boundary series exercises the pass-through
+        # (time, z, y) layout
+        "tbw": rng.standard_normal((nrec, kb, jm)),
+    }
+    zroot = str(tmp_path / "sfrc_zarr")
+    for v, a in series.items():
+        zio.write_array(zroot, v, a)
+    ncpath = str(tmp_path / "sfrc.nc")
+    ncio.write_forcing_series_nc(ncpath, series, im, jm, kb=kb)
+
+    zsrc, nsrc = zio.ZarrSource(zroot), ncio.NcForcingSource(ncpath)
+    assert sorted(nsrc.names()) == sorted(series)
+    for v in series:
+        assert nsrc.nrec(v) == nrec
+        for n in range(nrec):
+            np.testing.assert_array_equal(zsrc.read(v, n),
+                                          nsrc.read(v, n))
+
+    def run_with(sfrc, tag):
+        conf = {
+            "run_name": tag,
+            "case": "seamount",
+            "case_args": {"im": im, "jm": jm, "kb": kb},
+            "config": {"days": 0.008, "prtd1": 0.004,
+                       "dtype": "float64"},
+            "out_dir": str(tmp_path / ("out_" + tag)),
+            "sfrc": sfrc,
+        }
+        cpath = tmp_path / f"conf_{tag}.json"
+        cpath.write_text(json.dumps(conf))
+        assert main([str(cpath)]) == 0
+        outs = sorted(os.listdir(tmp_path / ("out_" + tag)))
+        snap = [o for o in outs if o.startswith(tag + ".0")][-1]
+        root = str(tmp_path / ("out_" + tag) / snap)
+        return {v: zio.read_array(root, v) for v in ("elb", "u", "t")}
+
+    a = run_with(zroot, "zrf")
+    b = run_with(ncpath, "ncf")
+    for v in a:
+        tol = 1e-13 * max(1.0, float(np.abs(a[v]).max()))
+        np.testing.assert_allclose(a[v], b[v], rtol=0, atol=tol,
+                                   err_msg=v)
