@@ -73,10 +73,20 @@ def _hx(a: np.ndarray) -> np.ndarray:
 
 def write_output_nc(path: str, grid: Grid, cfg: Config, state: State,
                     time_days: float, stats: Optional[Dict] = None,
-                    extra: Optional[Dict] = None) -> None:
+                    extra: Optional[Dict] = None,
+                    append: bool = False) -> None:
     """One snapshot as a reference-layout NetCDF file
     (write_output_pnetcdf, io_pnetcdf.F:57-410): dimensions
-    ``time`` (record), ``z`` (kb), ``y`` (jm), ``x`` (im)."""
+    ``time`` (record), ``z`` (kb), ``y`` (jm), ``x`` (im).
+
+    ``append=True`` reproduces the reference's single-file output
+    stream: when ``path`` exists, the snapshot lands at the next record
+    index of the SAME file (the ``iout`` record writes,
+    io_pnetcdf.F:180-410) — static grid variables are written once, at
+    creation."""
+    if append and os.path.exists(path):
+        _append_output_nc(path, cfg, state, time_days, stats, extra)
+        return
     f = netcdf_file(path, "w", version=2)   # 64-bit offset
     try:
         f.title = "extpom_tpu output snapshot"
@@ -119,6 +129,29 @@ def write_output_nc(path: str, grid: Grid, cfg: Config, state: State,
                 dims = (("time", "z", "y", "x") if a.ndim == 3
                         else ("time", "y", "x"))
                 var(name, dims, _hx(a)[None])
+    finally:
+        f.close()
+
+
+def _append_output_nc(path: str, cfg: Config, state: State,
+                      time_days: float, stats: Optional[Dict],
+                      extra: Optional[Dict]) -> None:
+    """Write one more record into an existing output file (see
+    :func:`write_output_nc` append mode)."""
+    f = netcdf_file(path, "a", version=2)
+    try:
+        n = f.variables["time"].shape[0]
+        f.variables["time"][n] = np.float64(time_days)
+        if stats:
+            for key, nc_name in _STAT_NAMES.items():
+                if key in stats and nc_name in f.variables:
+                    f.variables[nc_name][n] = np.float64(stats[key])
+        for name in _FIELDS_2D + _FIELDS_3D:
+            f.variables[name][n] = _hx(getattr(state, name))
+        if extra:
+            for name, arr in extra.items():
+                if name in f.variables:
+                    f.variables[name][n] = _hx(np.asarray(arr))
     finally:
         f.close()
 

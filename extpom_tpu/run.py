@@ -273,9 +273,13 @@ def main(argv=None):
                         "zarr and convert via python -m extpom_tpu.io."
                         "netcdf")
                 from extpom_tpu.io.netcdf import write_output_nc
+                # one output stream per run, snapshots as records — the
+                # reference's iout record writes (io_pnetcdf.F:180-410);
+                # the async writer's single worker preserves order
                 submit(write_output_nc,
-                       os.path.join(out_dir, f"{run}.{m.iint:06d}.nc"),
-                       m.grid, cfg, m.state, m.time_days, s, extra=extra)
+                       os.path.join(out_dir, f"{run}.nc"),
+                       m.grid, cfg, m.state, m.time_days, s, extra=extra,
+                       append=True)
             else:
                 submit(zio.write_output,
                        os.path.join(out_dir, f"{run}.{m.iint:06d}"),

@@ -171,9 +171,11 @@ def test_cli_netcdf_inputs_and_output(tmp_path):
     cpath = tmp_path / "conf.json"
     cpath.write_text(json.dumps(conf))
     assert main([str(cpath)]) == 0
+    # one output stream per run, snapshots as records (the reference's
+    # iout record writes, io_pnetcdf.F:180-410)
     snaps = sorted(o for o in os.listdir(tmp_path / "out_nc")
                    if o.endswith(".nc"))
-    assert snaps, "no NetCDF snapshots written"
+    assert snaps == ["nc.nc"], snaps
 
     # same run zarr-driven; final snapshots must agree bit-for-bit
     zio.write_grid(str(tmp_path / "grid"), grid)
@@ -188,9 +190,11 @@ def test_cli_netcdf_inputs_and_output(tmp_path):
                     if o.startswith("zr.0"))
     f = netcdf_file(str(tmp_path / "out_nc" / snaps[-1]), "r", mmap=False)
     try:
+        nrec = f.variables["time"].shape[0]
+        assert nrec == len(zsnaps), (nrec, zsnaps)
         zdata = zio.read_output(str(tmp_path / "out_zr" / zsnaps[-1]))
         for name in ("t", "s", "u", "elb"):
-            a = np.asarray(f.variables[name][0])
+            a = np.asarray(f.variables[name][nrec - 1])
             b = np.asarray(zdata[name]).swapaxes(-1, -2)
             np.testing.assert_array_equal(a, b, err_msg=name)
     finally:
