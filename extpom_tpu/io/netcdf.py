@@ -366,13 +366,28 @@ def write_forcing_series_nc(path: str, data: Dict[str, np.ndarray],
 
 def main(argv=None) -> int:
     import sys
+    import types
     argv = sys.argv[1:] if argv is None else argv
-    if len(argv) != 2:
+    if len(argv) < 2:
         print("usage: python -m extpom_tpu.io.netcdf "
-              "<output.zarr-dir> <snapshot.nc>")
+              "<output.zarr-dir> [more.zarr-dirs ...] <out.nc>\n"
+              "Multiple snapshot dirs merge into one record stream "
+              "(the reference's single output file).")
         return 2
-    zarr_output_to_nc(argv[0], argv[1])
-    print(f"wrote {argv[1]} ({os.path.getsize(argv[1])} bytes)")
+    srcs, dst = argv[:-1], argv[-1]
+    zarr_output_to_nc(srcs[0], dst)
+    if len(srcs) > 1:
+        from extpom_tpu.io import zarrstore as zio
+        for src in srcs[1:]:
+            d = zio.read_output(src)
+            attrs = d["attrs"]
+            _append_output_nc(
+                dst, None,
+                types.SimpleNamespace(**{n: d[n] for n
+                                         in _FIELDS_2D + _FIELDS_3D}),
+                attrs.get("time_days", 0.0), attrs.get("stats"), None)
+    print(f"wrote {dst} ({len(srcs)} records, "
+          f"{os.path.getsize(dst)} bytes)")
     return 0
 
 
