@@ -344,6 +344,9 @@ def write_forcing_series_nc(path: str, data: Dict[str, np.ndarray],
             if rec == (im, jm):
                 dims = ("time", "y", "x")
                 a = np.swapaxes(a, -1, -2)
+            elif kb and rec == (kb, im, jm):
+                dims = ("time", "z", "y", "x")
+                a = np.swapaxes(a, -1, -2)
             elif len(rec) == 2 and kb and rec[0] == kb:
                 n = f"n{extra}"
                 f.createDimension(n, rec[1])
