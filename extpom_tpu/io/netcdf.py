@@ -277,6 +277,78 @@ def read_initial_ts_nc(path: str):
             sb if sclim is None else sclim)
 
 
+# the reference's 37-variable restart payload (write_restart_pnetcdf,
+# io_pnetcdf.F:1661-2083) — names match State fields one for one
+_RESTART_2D = ("wubot", "wvbot", "aam2d", "ua", "uab", "va", "vab",
+               "el", "elb", "et", "etb", "egb", "utb", "vtb",
+               "adx2d", "ady2d", "advua", "advva")
+_RESTART_3D = ("u", "ub", "v", "vb", "w", "t", "tb", "s", "sb", "rho",
+               "km", "kh", "kq", "l", "q2", "q2b", "aam", "q2l", "q2lb")
+
+
+def write_restart_nc(path: str, state: State, time_days: float) -> None:
+    """Checkpoint in the REFERENCE's restart layout
+    (write_restart_pnetcdf, io_pnetcdf.F:1661-2083: scalar ``time`` +
+    the 37 restart variables, dims ``(z, y, x)``) so a reference
+    installation can resume from this framework's run.  The native Zarr
+    restart (io.zarrstore.write_restart) stays the bit-seamless
+    checkpoint — this is the interchange export."""
+    f = netcdf_file(path, "w", version=2)
+    try:
+        kb, im, jm = state.u.shape
+        f.createDimension("time", None)
+        f.createDimension("z", kb)
+        f.createDimension("y", jm)
+        f.createDimension("x", im)
+        v = f.createVariable("time", np.dtype(np.float64), ("time",))
+        v[0] = np.float64(time_days)
+        for name in _RESTART_2D:
+            a = _hx(getattr(state, name))
+            f.createVariable(name, a.dtype.newbyteorder("="),
+                             ("y", "x"))[...] = a
+        for name in _RESTART_3D:
+            a = _hx(getattr(state, name))
+            f.createVariable(name, a.dtype.newbyteorder("="),
+                             ("z", "y", "x"))[...] = a
+    finally:
+        f.close()
+
+
+def read_restart_nc(path: str, cfg: Config):
+    """Resume from a reference-format restart file
+    (read_restart_pnetcdf, io_pnetcdf.F:2420-2769).  Returns
+    ``(state, iint, time0)`` with ``iint=0`` and ``time0`` = the file's
+    ``time`` — step counting restarts, simulation time continues, the
+    reference's own convention (``time0`` in initialize.f).
+
+    Fields of this framework's State that the reference does NOT
+    checkpoint are re-seeded exactly as a resumed reference run holds
+    them: ``etf`` <- ``et`` (overwritten by the first external loop),
+    ``drx2d``/``dry2d`` <- 0 (re-accumulated from the pressure phase
+    every step, advance.f:96-141), ``vfluxb``/``vfluxf`` <- 0."""
+    import jax.numpy as jnp
+    import dataclasses as _dc
+    v = _nc_vars(path)
+    dt = cfg.jnp_dtype
+    fields = {}
+    for name in _RESTART_2D + _RESTART_3D:
+        if name not in v:
+            raise KeyError(f"restart file {path} lacks {name!r}")
+        a = _hx(v[name])
+        if a.ndim > (2 if name in _RESTART_2D else 3):
+            a = a[0]                      # tolerate a record dim
+        fields[name] = jnp.asarray(a, dt)
+    fields["etf"] = fields["et"]
+    for name in ("drx2d", "dry2d"):
+        fields[name] = jnp.zeros_like(fields["el"])
+    for name in ("vfluxb", "vfluxf"):
+        fields[name] = jnp.zeros_like(fields["el"])
+    missing = ({f.name for f in _dc.fields(State)} - set(fields))
+    assert not missing, f"unseeded State fields: {missing}"
+    time0 = float(np.asarray(v["time"]).reshape(-1)[0])
+    return State(**fields), 0, time0
+
+
 class NcForcingSource:
     """Forcing record source over one NetCDF-3 file — the reference's
     surface/lateral series readers (read_wind/read_heat/read_surface/

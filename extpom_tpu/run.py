@@ -130,9 +130,14 @@ def build_model(conf: dict):
             grid, cfg, m.base_forcing, src,
             cont_bry_offset=int(conf.get("cont_bry", 0)))
 
-    # restart resume (initialize.f:39; read_restart_pnetcdf)
+    # restart resume (initialize.f:39; read_restart_pnetcdf) — .nc paths
+    # open reference-format restart files through the bridge
     if conf.get("nread_rst"):
-        st, iint, time0 = zio.read_restart(conf["read_rst_path"], cfg)
+        if conf["read_rst_path"].endswith(".nc"):
+            from extpom_tpu.io.netcdf import read_restart_nc
+            st, iint, time0 = read_restart_nc(conf["read_rst_path"], cfg)
+        else:
+            st, iint, time0 = zio.read_restart(conf["read_rst_path"], cfg)
         m.state, m.iint, m.time0 = st, iint, time0
 
     # mesh decomposition (distribute_mpi analogue, parallel_mpi.f:34-122)
