@@ -23,6 +23,12 @@ tool chains (and existing input files) speak NetCDF:
   stored levels — z-level data still goes through
   ``utils/interp.ztosig`` exactly as the reference interpolates after
   reading.
+* :class:`NcForcingSource` / :func:`write_forcing_series_nc` — forcing
+  record series (the ``.sfrc.nc``/``.lbry.nc`` readers,
+  io_pnetcdf.F:2912-3622), provider-protocol compatible.
+* :func:`write_restart_nc` / :func:`read_restart_nc` — the reference's
+  37-variable restart payload, both directions (io_pnetcdf.F:1661-2083,
+  2420-2769).
 
 Array layout: this framework stores horizontal fields as ``(im, jm)`` =
 (x, y) and 3-D fields as ``(kb, im, jm)``; NetCDF files written by the

@@ -27,6 +27,8 @@ Config schema (all keys optional unless noted)::
       #   zarr; "nc" writes reference-layout NetCDF files via
       #   io/netcdf.py — restart checkpoints stay Zarr, bit-seamless)
       "nread_rst": 0, "read_rst_path": "out/run.rst.0003",
+      #   (a read_rst_path ending in .nc resumes from a reference-format
+      #    restart file, io/netcdf.py:read_restart_nc)
       "cont_bry": 0,
       # -- parallel execution (distribute_mpi analogue) --
       "mesh": {"px": 2, "py": 4, "mode": "shardmap" | "gspmd"},
