@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.8
+    from jax import shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from extpom_tpu.core.config import Config
 from extpom_tpu.core.grid import Grid
